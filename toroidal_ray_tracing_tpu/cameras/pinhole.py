@@ -1,0 +1,74 @@
+"""Pinhole camera — port of the stock NVIDIA tutorial ray generation
+(VKT/ray_tracing_reflections/shaders/raytrace.rgen:42-48):
+
+    pixelCenter = gl_LaunchID.xy + 0.5
+    d           = pixelCenter / gl_LaunchSize * 2 - 1
+    origin      = viewInverse * (0,0,0,1)
+    target      = projInverse * (d.x, d.y, 1, 1)
+    direction   = viewInverse * (normalize(target.xyz), 0)
+
+The view/projection matrices mirror `updateUniformBuffer`
+(VKT/ray_tracing__before/hello_vulkan.cpp:58-100): perspectiveVK(fov, aspect,
+0.1, 1000) and the CameraManipulator look-at matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from toroidal_ray_tracing_tpu.utils import math3d
+
+F32 = np.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class PinholeCamera:
+    eye: tuple = (10.0, 0.0, 0.0)     # reference default pose: lookat (0,0,0)
+    center: tuple = (0.0, 0.0, 0.0)   # from (10,0,0) (main.cpp:123-133)
+    up: tuple = (0.0, 1.0, 0.0)
+    fov_deg: float = 60.0             # CameraManipulator default FOV
+    near: float = 0.1
+    far: float = 1000.0
+
+    def matrices(self, aspect: float):
+        view = math3d.look_at(self.eye, self.center, self.up)
+        proj = math3d.perspective_vk(self.fov_deg, aspect, self.near, self.far)
+        return view, proj, math3d.inverse(view), math3d.inverse(proj)
+
+    def generate_rays(self, width: int, height: int, settings=None, xp=None,
+                      jitter=None):
+        """Rays for every pixel, row-major (i = y*W + x). `jitter` is an
+        optional (H*W, 2) array of subpixel offsets in [0,1) replacing the
+        fixed +0.5 pixel center (for the jittered-AA config)."""
+        if xp is None:
+            import jax.numpy as xp  # noqa: PLC0415
+
+        _, _, view_inv, proj_inv = self.matrices(width / height)
+
+        ys, xs = np.meshgrid(np.arange(height, dtype=F32),
+                             np.arange(width, dtype=F32), indexing="ij")
+        px = xp.asarray(xs.reshape(-1))
+        py = xp.asarray(ys.reshape(-1))
+        if jitter is not None:
+            px = px + jitter[:, 0]
+            py = py + jitter[:, 1]
+        else:
+            px = px + F32(0.5)
+            py = py + F32(0.5)
+        dx = px / F32(width) * F32(2.0) - F32(1.0)
+        dy = py / F32(height) * F32(2.0) - F32(1.0)
+
+        # elementwise formulation (no matmul: TPU would default f32 matmuls
+        # to bf16 MXU passes, which is far too coarse for ray directions)
+        ndc = xp.stack([dx, dy, xp.ones_like(dx), xp.ones_like(dx)], axis=-1)
+        target = xp.einsum("ni,ji->nj", ndc, xp.asarray(proj_inv),
+                           precision="highest") if xp is not np else ndc @ proj_inv.T
+        t3 = target[:, :3]
+        t3 = t3 / xp.linalg.norm(t3, axis=-1, keepdims=True)
+        vi = xp.asarray(view_inv)
+        dirs = (xp.einsum("ni,ji->nj", t3, vi[:3, :3], precision="highest")
+                if xp is not np else t3 @ view_inv[:3, :3].T)
+        origin = xp.broadcast_to(vi[:3, 3], dirs.shape)
+        return origin.astype(F32), dirs.astype(F32)

@@ -1,0 +1,100 @@
+"""Top-level render entry point.
+
+One call replaces the reference's whole per-frame command buffer
+(`raytrace()` + offscreen image + RenderedData SSBO,
+VKT/ray_tracing__before/hello_vulkan.cpp:936-958): generate rays for the
+camera, run the wavefront bounce loop under `jit`, and return the image plus
+the `RenderedData` quartet (pos / color / rayOrigin / rayDir,
+shaders/host_device.h:101-107).
+
+The returned image is *linear* color — identical to the offscreen RGBA32F
+image the reference dumps (`writeColorImage`). `tonemap` applies the post
+pass's gamma (post.frag:35-36) for display.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toroidal_ray_tracing_tpu.cameras import generate_rays
+from toroidal_ray_tracing_tpu.scene.types import RenderSettings, Scene
+from toroidal_ray_tracing_tpu.trace.wavefront import trace_rays
+
+F32 = np.float32
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _trace_jit(scene, settings, origins, dirs, backend="jnp"):
+    return trace_rays(scene, settings, origins, dirs, backend=backend)
+
+
+def tonemap(image):
+    """Post-pass gamma (pow(color, 1/2.2), post.frag:35-36)."""
+    return jnp.power(jnp.clip(image, 0.0, None), F32(1.0 / 2.2))
+
+
+def render(
+    scene: Scene,
+    camera,
+    width: int,
+    height: int,
+    settings: RenderSettings | None = None,
+    backend: str = "jnp",
+    spp: int = 1,
+    seed: int = 0,
+    out_sharding=None,
+):
+    """Render one frame.
+
+    backend: "jnp" (reference path) or "pallas" (fused kernel fast path).
+    spp: samples per pixel; >1 enables jittered AA (BASELINE config 5 —
+         framework extension, the reference is strictly 1 spp).
+    out_sharding: optional NamedSharding for the flat ray batch; when given,
+         rays are placed sharded and the whole trace runs SPMD over the mesh
+         (pure data parallelism — the scene is replicated, cf. SURVEY.md §2C).
+
+    Returns a dict: image, hit_position, ray_origin, ray_dir — each (H, W, 3).
+    """
+    if settings is None:
+        settings = RenderSettings.default()
+
+    origins, dirs = generate_rays(camera, width, height, settings)
+    if out_sharding is not None:
+        origins = jax.device_put(origins, out_sharding)
+        dirs = jax.device_put(dirs, out_sharding)
+
+    if spp <= 1:
+        color, hitpos = _trace_jit(scene, settings, origins, dirs, backend)
+    else:
+        rng = np.random.default_rng(seed)
+        acc = None
+        hitpos = None
+        for s in range(spp):
+            if s == 0:
+                jitter = None  # center sample also provides hit/ray dumps
+            else:
+                jitter = jnp.asarray(
+                    rng.random((width * height, 2), dtype=np.float32))
+                if out_sharding is not None:
+                    jitter = jax.device_put(jitter, out_sharding)
+            o, d = generate_rays(camera, width, height, settings, jitter=jitter)
+            if out_sharding is not None:
+                o = jax.device_put(o, out_sharding)
+                d = jax.device_put(d, out_sharding)
+            c, hp = _trace_jit(scene, settings, o, d, backend)
+            acc = c if acc is None else acc + c
+            if s == 0:
+                hitpos = hp
+        color = acc / F32(spp)
+
+    shape = (height, width, 3)
+    return {
+        "image": color.reshape(shape),
+        "hit_position": hitpos.reshape(shape),
+        "ray_origin": origins.reshape(shape),
+        "ray_dir": dirs.reshape(shape),
+    }

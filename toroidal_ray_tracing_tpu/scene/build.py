@@ -1,0 +1,280 @@
+"""SceneDef -> trace-ready `Scene` flattening (host side, NumPy).
+
+This is the TPU-native replacement for the reference's acceleration-structure
+build (`createBottomLevelAS`/`createTopLevelAS`,
+VKT/ray_tracing__before/hello_vulkan.cpp:602-687): triangle instances are
+baked to world space (the scenes are small enough that re-baking on TLAS
+"refit" is cheap — cf. `updateSubjectPosition`, hello_vulkan.cpp:963-986),
+Morton-sorted, chunked into fixed-size clusters with AABBs (the flattened BVH
+the Pallas kernel culls against), and given precomputed Woop transforms so the
+per-(ray,tri) test becomes two thin matmuls on the MXU.
+
+Analytic tori stay parametric (procedural-AABB TLAS analog): per-instance
+world/object transforms plus a world bounding sphere for culling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from toroidal_ray_tracing_tpu.scene.types import (
+    Instance,
+    Material,
+    Scene,
+    SceneDef,
+    TextureAtlas,
+    TriangleMesh,
+    TriangleSoup,
+    Torus,
+    TorusSoup,
+)
+from toroidal_ray_tracing_tpu.utils import math3d
+
+F32 = np.float32
+I32 = np.int32
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """30-bit Morton code from (N,3) centroids normalized to [0,1)."""
+    q = np.clip((x * 1024.0).astype(np.uint32), 0, 1023).astype(np.uint64)
+
+    def spread(v):
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+
+    return (spread(q[:, 0]) << np.uint64(2)) | (spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2])
+
+
+def _woop_matrices(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+    """Per-triangle Woop unit-triangle transform.
+
+    M = [e1 e2 n] (columns), W = M^-1, c = -W v0. A ray (o, d) maps to
+    o' = W o + c, d' = W d; then t = -o'z/d'z, u = o'x + t d'x,
+    v = o'y + t d'y; hit iff u>=0, v>=0, u+v<=1.
+    """
+    n = np.cross(e1.astype(np.float64), e2.astype(np.float64))
+    # relative degeneracy test: area^2 vs edge lengths (sin^2 of edge angle)
+    n2 = np.einsum("ti,ti->t", n, n)
+    scale2 = (np.einsum("ti,ti->t", e1, e1) * np.einsum("ti,ti->t", e2, e2)).astype(np.float64)
+    degenerate = (n2 <= 1e-12 * scale2) | (n2 <= 0.0) | ~np.isfinite(n2)
+    M = np.stack([e1.astype(np.float64), e2.astype(np.float64), n], axis=2)  # (T,3,3) columns
+    M[degenerate] = np.eye(3)
+    W = np.linalg.inv(M)
+    c = -np.einsum("tij,tj->ti", W, v0.astype(np.float64))
+    # degenerate/padding rows become guaranteed misses: d' = 0 => dz = 0
+    W[degenerate] = 0.0
+    c[degenerate] = (0.0, 0.0, 1.0)
+    return W.astype(F32), c.astype(F32), degenerate
+
+
+def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    if a.shape[0] >= n:
+        return a[:n]
+    pad_shape = (n - a.shape[0],) + a.shape[1:]
+    return np.concatenate([a, np.full(pad_shape, fill, dtype=a.dtype)], axis=0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_scene(
+    scene_def: SceneDef,
+    cluster_size: int = 256,
+    use_native: bool = True,
+) -> Scene:
+    """Flatten a SceneDef into a device-ready Scene pytree (NumPy arrays; JAX
+    will transfer on first use).
+
+    cluster_size: triangles per culling cluster; must match the Pallas
+    kernel's triangle tile. Padded rows are marked invalid and placed in
+    far-away clusters so they never win the argmin.
+    """
+    materials_rows: list = []
+    textures: list = []
+    mat_offsets: list = []
+    txt_offsets: list = []
+    for model in scene_def.models:
+        mat_offsets.append(len(materials_rows))
+        txt_offsets.append(len(textures))
+        mats = list(model.materials) if model.materials else [{}]
+        for m in mats:
+            m = dict(m)
+            tid = m.get("texture_id", -1)
+            if tid is not None and tid >= 0:
+                m["texture_id"] = tid + len(textures)
+            materials_rows.append(m)
+        if isinstance(model, TriangleMesh):
+            textures.extend(model.textures)
+    if not materials_rows:
+        materials_rows = [{}]
+
+    # --- flatten triangle instances to world space ------------------------
+    v0s, e1s, e2s, n0s, n1s, n2s, uv0s, uv1s, uv2s, mids, iids = ([] for _ in range(11))
+    tori_rows = []
+    for inst_id, inst in enumerate(scene_def.instances):
+        model = scene_def.models[inst.obj_index]
+        xform = np.asarray(inst.transform, dtype=F32)
+        if isinstance(model, Torus):
+            tori_rows.append((inst_id, inst.obj_index, model, xform))
+            continue
+        mesh: TriangleMesh = model
+        if mesh.num_triangles == 0:
+            continue
+        pos_w = math3d.transform_points(xform, mesh.positions)
+        nrm_w = math3d.transform_normals(xform, mesh.normals)
+        idx = mesh.indices.astype(I32)
+        p0, p1, p2 = pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]]
+        v0s.append(p0)
+        e1s.append(p1 - p0)
+        e2s.append(p2 - p0)
+        n0s.append(nrm_w[idx[:, 0]])
+        n1s.append(nrm_w[idx[:, 1]])
+        n2s.append(nrm_w[idx[:, 2]])
+        uv = mesh.uvs if mesh.uvs is not None else np.zeros((len(pos_w), 2), F32)
+        uv0s.append(uv[idx[:, 0]])
+        uv1s.append(uv[idx[:, 1]])
+        uv2s.append(uv[idx[:, 2]])
+        mids.append(mesh.mat_index.astype(I32) + I32(mat_offsets[inst.obj_index]))
+        iids.append(np.full(len(idx), inst_id, dtype=I32))
+
+    if v0s:
+        v0 = np.concatenate(v0s).astype(F32)
+        e1 = np.concatenate(e1s).astype(F32)
+        e2 = np.concatenate(e2s).astype(F32)
+        n0 = np.concatenate(n0s).astype(F32)
+        n1 = np.concatenate(n1s).astype(F32)
+        n2 = np.concatenate(n2s).astype(F32)
+        uv0 = np.concatenate(uv0s).astype(F32)
+        uv1 = np.concatenate(uv1s).astype(F32)
+        uv2 = np.concatenate(uv2s).astype(F32)
+        mat_id = np.concatenate(mids)
+        inst_ids = np.concatenate(iids)
+    else:
+        v0 = np.zeros((0, 3), F32)
+        e1 = e2 = n0 = n1 = n2 = v0
+        uv0 = uv1 = uv2 = np.zeros((0, 2), F32)
+        mat_id = np.zeros((0,), I32)
+        inst_ids = np.zeros((0,), I32)
+
+    # drop degenerate (zero-area) triangles — e.g. lat-long sphere poles;
+    # the hardware pipeline also never reports hits on them
+    if v0.shape[0]:
+        face_n = np.cross(e1.astype(np.float64), e2.astype(np.float64))
+        area2 = np.einsum("ti,ti->t", face_n, face_n)
+        edge2 = (np.einsum("ti,ti->t", e1, e1)
+                 * np.einsum("ti,ti->t", e2, e2)).astype(np.float64)
+        keep = (area2 > 1e-12 * edge2) & (area2 > 0.0) & np.isfinite(area2)
+        if not keep.all():
+            v0, e1, e2, n0, n1, n2, uv0, uv1, uv2 = (
+                a[keep] for a in (v0, e1, e2, n0, n1, n2, uv0, uv1, uv2))
+            mat_id, inst_ids = mat_id[keep], inst_ids[keep]
+
+    n_real = v0.shape[0]
+
+    # --- Morton sort + cluster --------------------------------------------
+    if n_real > 0:
+        centroid = v0 + (e1 + e2) / F32(3.0)
+        lo = centroid.min(axis=0)
+        span = np.maximum(centroid.max(axis=0) - lo, F32(1e-6))
+        order = np.argsort(_morton3((centroid - lo) / span), kind="stable")
+        v0, e1, e2 = v0[order], e1[order], e2[order]
+        n0, n1, n2 = n0[order], n1[order], n2[order]
+        uv0, uv1, uv2 = uv0[order], uv1[order], uv2[order]
+        mat_id, inst_ids = mat_id[order], inst_ids[order]
+
+    T = max(_round_up(max(n_real, 1), cluster_size), cluster_size)
+    valid = np.zeros((T,), bool)
+    valid[:n_real] = True
+    # padding triangles: degenerate at a far sentinel so they never hit
+    FAR = F32(1e30)
+    v0 = _pad_rows(v0, T, 0.0)
+    v0[n_real:] = FAR
+    e1 = _pad_rows(e1, T, 0.0)
+    e2 = _pad_rows(e2, T, 0.0)
+    n0 = _pad_rows(n0, T, 0.0)
+    n1 = _pad_rows(n1, T, 0.0)
+    n2 = _pad_rows(n2, T, 0.0)
+    uv0 = _pad_rows(uv0, T, 0.0)
+    uv1 = _pad_rows(uv1, T, 0.0)
+    uv2 = _pad_rows(uv2, T, 0.0)
+    mat_id = _pad_rows(mat_id, T, 0)
+    inst_ids = _pad_rows(inst_ids, T, -1)
+
+    W, c, degenerate = _woop_matrices(v0, e1, e2)
+    valid &= ~degenerate
+    woop_o = np.concatenate([W, c[:, :, None]], axis=2).transpose(2, 1, 0).reshape(4, 3 * T).astype(F32)
+    woop_d = W.transpose(2, 1, 0).reshape(3, 3 * T).astype(F32)
+
+    # cluster AABBs over the sorted array
+    C = T // cluster_size
+    tri_lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    tri_hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    cluster_lo = tri_lo.reshape(C, cluster_size, 3).min(axis=1)
+    cluster_hi = tri_hi.reshape(C, cluster_size, 3).max(axis=1)
+
+    triangles = TriangleSoup(
+        v0=v0, e1=e1, e2=e2, n0=n0, n1=n1, n2=n2,
+        uv0=uv0, uv1=uv1, uv2=uv2,
+        mat_id=mat_id, instance_id=inst_ids, valid=valid,
+        woop_o=woop_o, woop_d=woop_d,
+    )
+
+    # --- tori --------------------------------------------------------------
+    K = max(len(tori_rows), 1)
+    w2o = np.tile(np.eye(4, dtype=F32)[:3], (K, 1, 1))
+    o2w = np.tile(np.eye(4, dtype=F32)[:3], (K, 1, 1))
+    majr = np.zeros((K,), F32)
+    minr = np.full((K,), F32(-1.0))  # negative => never hit
+    t_mid = np.zeros((K,), I32)
+    t_iid = np.full((K,), -1, I32)
+    t_valid = np.zeros((K,), bool)
+    t_center = np.full((K, 3), F32(1e30))
+    t_bound = np.zeros((K,), F32)
+    for row, (inst_id, obj_index, torus, xform) in enumerate(tori_rows):
+        inv = math3d.inverse(xform)
+        w2o[row] = inv[:3]
+        o2w[row] = xform[:3]
+        majr[row] = F32(torus.major_radius)
+        minr[row] = F32(torus.minor_radius)
+        t_mid[row] = I32(torus.mat_index + mat_offsets[obj_index])
+        t_iid[row] = I32(inst_id)
+        t_valid[row] = True
+        t_center[row] = xform[:3, 3]
+        smax = float(np.linalg.norm(xform[:3, :3], ord=2))
+        t_bound[row] = F32((torus.major_radius + torus.minor_radius) * smax)
+
+    tori = TorusSoup(
+        world_to_obj=w2o, obj_to_world=o2w,
+        major_radius=majr, minor_radius=minr,
+        mat_id=t_mid, instance_id=t_iid, valid=t_valid,
+        center=t_center, bound_radius=t_bound,
+    )
+
+    # --- textures ----------------------------------------------------------
+    if textures:
+        th = max(t.shape[0] for t in textures)
+        tw = max(t.shape[1] for t in textures)
+        data = np.zeros((len(textures), th, tw, 3), F32)
+        sizes = np.zeros((len(textures), 2), I32)
+        for i, t in enumerate(textures):
+            data[i, : t.shape[0], : t.shape[1]] = t[..., :3]
+            sizes[i] = (t.shape[0], t.shape[1])
+    else:
+        # dummy 1x1 white (hello_vulkan.cpp:292-309)
+        data = np.ones((1, 1, 1, 3), F32)
+        sizes = np.ones((1, 2), I32)
+    atlas = TextureAtlas(data=data, sizes=sizes)
+
+    return Scene(
+        triangles=triangles,
+        tori=tori,
+        materials=Material.table(materials_rows),
+        textures=atlas,
+        cluster_lo=cluster_lo.astype(F32),
+        cluster_hi=cluster_hi.astype(F32),
+        cluster_size=cluster_size,
+    )

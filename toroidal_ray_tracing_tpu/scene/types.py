@@ -1,0 +1,293 @@
+"""Scene pytrees — the TPU-native replacement for the reference's descriptor
+sets, push constants and device buffers.
+
+The reference keeps scene state as Vulkan buffers addressed through `ObjDesc`
+(VKT/ray_tracing__before/shaders/host_device.h:59-66), camera matrices in a
+`GlobalUniforms` UBO (host_device.h:69-75) and per-frame knobs in
+`PushConstantRay` (host_device.h:90-98). Here all of that becomes plain JAX
+pytrees:
+
+* `Material`   — SoA clone of `WaveFrontMaterial` (host_device.h:117-129)
+* `Light` + `RenderSettings` — clone of `PushConstantRay`
+* `TriangleMesh` / `Instance` — the BLAS/TLAS analog
+  (BLAS per OBJ model: hello_vulkan.cpp:602-663; TLAS instances with
+  `instanceCustomIndex = objIndex`: hello_vulkan.cpp:668-687)
+* `Torus`      — analytic torus primitive batch (BASELINE.json extension; the
+  reference has no procedural primitive, SURVEY.md §0)
+* `Scene`      — trace-ready flattened device scene (world-space triangles with
+  precomputed Woop transforms + torus batch + material/texture tables)
+
+Everything is float32 / int32; shapes are static so the whole struct jits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Any
+
+import numpy as np
+from flax import struct
+
+F32 = np.float32
+I32 = np.int32
+
+LIGHT_POINT = 0     # VKT/ray_tracing__before/shaders/raytrace.rchit:61-67
+LIGHT_INFINITE = 1  # raytrace.rchit:68-71
+
+ILLUM_DIFFUSE_ONLY = 0   # no ambient add (wavefront.glsl:28)
+ILLUM_AMBIENT = 1        # ambient added, no specular (wavefront.glsl:36)
+ILLUM_PHONG = 2          # ambient + Phong specular
+ILLUM_REFLECTIVE = 3     # mirror reflection chain (raytrace.rchit:123)
+
+
+class Material(NamedTuple):
+    """SoA material table, one row per material (WaveFrontMaterial,
+    host_device.h:117-129)."""
+
+    ambient: Any        # (M, 3) f32
+    diffuse: Any        # (M, 3) f32
+    specular: Any       # (M, 3) f32
+    transmittance: Any  # (M, 3) f32
+    emission: Any       # (M, 3) f32
+    shininess: Any      # (M,)  f32
+    ior: Any            # (M,)  f32
+    dissolve: Any       # (M,)  f32
+    illum: Any          # (M,)  i32
+    texture_id: Any     # (M,)  i32  (-1 = none; raytrace.rchit:79)
+
+    @staticmethod
+    def table(rows: "list[dict]") -> "Material":
+        """Build a material table from a list of dicts of WaveFront fields."""
+
+        def col(key, default, width=None):
+            vals = []
+            for r in rows:
+                v = r.get(key, default)
+                vals.append(v)
+            arr = np.asarray(vals)
+            if width is not None:
+                arr = arr.reshape(len(rows), width).astype(F32)
+            return arr
+
+        return Material(
+            ambient=col("ambient", (0.1, 0.1, 0.1), 3),
+            diffuse=col("diffuse", (0.7, 0.7, 0.7), 3),
+            specular=col("specular", (1.0, 1.0, 1.0), 3),
+            transmittance=col("transmittance", (0.0, 0.0, 0.0), 3),
+            emission=col("emission", (0.0, 0.0, 0.0), 3),
+            shininess=col("shininess", 0.0).astype(F32),
+            ior=col("ior", 1.0).astype(F32),
+            dissolve=col("dissolve", 1.0).astype(F32),
+            illum=col("illum", 2).astype(I32),
+            texture_id=col("texture_id", -1).astype(I32),
+        )
+
+
+class Light(NamedTuple):
+    """Point or infinite light (raytrace.rchit:57-71)."""
+
+    position: Any    # (3,) f32 — position (point) or direction (infinite)
+    intensity: Any   # ()   f32
+    type: Any        # ()   i32 — LIGHT_POINT | LIGHT_INFINITE
+
+
+class RenderSettings(NamedTuple):
+    """Per-frame knobs: clone of `PushConstantRay` (host_device.h:90-98) plus
+    framework extensions (AA sampling for config 5)."""
+
+    clear_color: Any      # (4,) f32
+    light: Light
+    max_depth: Any        # () i32 — bounce cap (reference default 10, hello_vulkan.h:153)
+    rho: Any              # () f32 — toroidal ring radius (reference sweep 4..10)
+
+    @staticmethod
+    def default(
+        clear_color=(1.0, 1.0, 1.0, 1.0),
+        light_position=(10.0, 15.0, 8.0),
+        light_intensity=100.0,
+        light_type=LIGHT_POINT,
+        max_depth=10,
+        rho=4.0,
+    ) -> "RenderSettings":
+        return RenderSettings(
+            clear_color=np.asarray(clear_color, dtype=F32),
+            light=Light(
+                position=np.asarray(light_position, dtype=F32),
+                intensity=F32(light_intensity),
+                type=I32(light_type),
+            ),
+            max_depth=I32(max_depth),
+            rho=F32(rho),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Host-side scene description (the "loadModel + instances" level)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TriangleMesh:
+    """One OBJ model == one BLAS (hello_vulkan.cpp:602-663).
+
+    NumPy host arrays; flattened into the device `Scene` by
+    `toroidal_ray_tracing_tpu.scene.build.build_scene`.
+    """
+
+    positions: np.ndarray        # (V, 3) f32
+    normals: np.ndarray          # (V, 3) f32
+    colors: np.ndarray           # (V, 3) f32 (vertex colors; reference Vertex.color)
+    uvs: np.ndarray              # (V, 2) f32
+    indices: np.ndarray          # (T, 3) i32
+    mat_index: np.ndarray        # (T,)  i32 — per-triangle material (MatIndices buffer)
+    materials: list              # list[dict] WaveFront fields for Material.table
+    textures: list = dataclasses.field(default_factory=list)  # list[np.ndarray (H,W,3) f32]
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.indices.shape[0])
+
+
+@dataclasses.dataclass
+class Torus:
+    """Analytic torus primitive: axis +y in object space, centered at origin.
+
+    Implicit surface (x^2+y^2+z^2 + R^2 - r^2)^2 = 4 R^2 (x^2+z^2).
+    Not present in the reference (SURVEY.md §0) — required by BASELINE.json.
+    """
+
+    major_radius: float
+    minor_radius: float
+    materials: list              # list[dict] (single-entry typical)
+    mat_index: int = 0
+
+
+@dataclasses.dataclass
+class Instance:
+    """TLAS instance: object index + world transform
+    (hello_vulkan.cpp:668-687; `instanceCustomIndex = objIndex`)."""
+
+    obj_index: int
+    transform: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=F32)
+    )
+
+
+@dataclasses.dataclass
+class SceneDef:
+    """Host scene graph: models + instances, the analog of the reference's
+    `loadModel` call sequence (VKT/ray_tracing__before/main.cpp:200-212)."""
+
+    models: list = dataclasses.field(default_factory=list)      # list[TriangleMesh | Torus]
+    instances: list = dataclasses.field(default_factory=list)   # list[Instance]
+
+    def add_model(self, model, transform: Optional[np.ndarray] = None) -> int:
+        """Mirror of `HelloVulkan::loadModel(file, transform)`
+        (hello_vulkan.cpp:190-247): registers the model and creates one
+        instance for it."""
+        idx = len(self.models)
+        self.models.append(model)
+        self.instances.append(
+            Instance(obj_index=idx, transform=np.eye(4, dtype=F32) if transform is None else np.asarray(transform, dtype=F32))
+        )
+        return idx
+
+    def add_instance(self, obj_index: int, transform: np.ndarray) -> int:
+        self.instances.append(Instance(obj_index=obj_index, transform=np.asarray(transform, dtype=F32)))
+        return len(self.instances) - 1
+
+
+# ---------------------------------------------------------------------------
+# Device-side trace-ready scene
+# ---------------------------------------------------------------------------
+
+
+class TriangleSoup(NamedTuple):
+    """Flattened world-space triangles, padded to a static count T.
+
+    The Woop arrays turn closest-hit queries into two thin matmuls
+    (MXU-friendly): with `oh = [o, 1]` (N,4) and `d` (N,3),
+
+        o' = oh @ woop_o   -> (N, 3T) -> reshape (N, 3, T)
+        d' = d  @ woop_d   -> (N, 3T)
+
+    then per (ray, tri): t = -o'z/d'z, u = o'x + t d'x, v = o'y + t d'y and
+    the hit test is u>=0, v>=0, u+v<=1 (Woop et al. unit-triangle test). This
+    is the TPU-native replacement for the driver BVH + `traceRayEXT`
+    (raytrace.rgen:77).
+    """
+
+    v0: Any          # (T, 3) f32
+    e1: Any          # (T, 3) f32  (v1 - v0)
+    e2: Any          # (T, 3) f32  (v2 - v0)
+    n0: Any          # (T, 3) f32  vertex normals (world space)
+    n1: Any          # (T, 3)
+    n2: Any          # (T, 3)
+    uv0: Any         # (T, 2)
+    uv1: Any         # (T, 2)
+    uv2: Any         # (T, 2)
+    mat_id: Any      # (T,) i32 into the global material table
+    instance_id: Any # (T,) i32 (instanceCustomIndex analog)
+    valid: Any       # (T,) bool — False for padding rows
+    woop_o: Any      # (4, 3*T) f32
+    woop_d: Any      # (3, 3*T) f32
+
+    @property
+    def count(self) -> int:
+        return int(self.v0.shape[0])
+
+
+class TorusSoup(NamedTuple):
+    """Batch of analytic tori (world transforms kept explicit — the TLAS
+    analog for procedural AABB instances)."""
+
+    world_to_obj: Any   # (K, 3, 4) f32 (rotation+scale | translation)
+    obj_to_world: Any   # (K, 3, 4) f32
+    major_radius: Any   # (K,) f32
+    minor_radius: Any   # (K,) f32
+    mat_id: Any         # (K,) i32
+    instance_id: Any    # (K,) i32
+    valid: Any          # (K,) bool
+    center: Any         # (K, 3) f32 world-space center (for culling)
+    bound_radius: Any   # (K,) f32 world-space bounding-sphere radius
+
+    @property
+    def count(self) -> int:
+        return int(self.major_radius.shape[0])
+
+
+class TextureAtlas(NamedTuple):
+    """All scene textures stacked into one padded array (replaces the
+    `sampler2D textureSamplers[]` binding, raytrace.rchit:22). A single 1x1
+    white dummy if the scene has none (hello_vulkan.cpp:292-309)."""
+
+    data: Any      # (n_tex, H, W, 3) f32, each texture padded to (H, W)
+    sizes: Any     # (n_tex, 2) i32 — (height, width) actually used
+
+
+@struct.dataclass
+class Scene:
+    """Fully flattened device scene: what `traceRayEXT` + descriptor sets see.
+
+    `cluster_*` fields carry the host-built acceleration structure (§ BVH):
+    triangles are sorted into fixed-size clusters with AABBs so the Pallas
+    kernel can skip whole clusters per ray tile. `cluster_size` is static
+    (not a pytree leaf) so kernels can use it for tiling under jit.
+    """
+
+    triangles: TriangleSoup
+    tori: TorusSoup
+    materials: Material
+    textures: TextureAtlas
+    # acceleration: cluster AABBs over the *sorted* triangle array
+    cluster_lo: Any        # (C, 3) f32 — min corner per cluster
+    cluster_hi: Any        # (C, 3) f32
+    cluster_size: int = struct.field(pytree_node=False, default=256)
+
+    @property
+    def num_triangles(self) -> int:
+        return self.triangles.count
+
+    @property
+    def num_tori(self) -> int:
+        return self.tori.count

@@ -1,0 +1,180 @@
+"""Device-side closest-hit + miss shading, vectorized over the ray batch.
+
+Line-by-line port of the reference's shading semantics into dense jnp with
+masked selects (no divergence — every lane computes every branch and selects):
+
+  raytrace.rchit:26-135  — interpolation, lighting, shadow ray, reflection
+  raytrace.rmiss:16-22   — miss = clearColor * 0.8, hitPosition = 0 sentinel
+  wavefront.glsl:23-50   — computeDiffuse (Lambert+ambient), computeSpecular
+                           (Phong with (2+s)/(2pi) energy factor)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from toroidal_ray_tracing_tpu.geom import torus as torus_geom
+from toroidal_ray_tracing_tpu.scene.types import LIGHT_POINT, RenderSettings, Scene
+from toroidal_ray_tracing_tpu.trace.intersect import Hit, any_hit
+
+F32 = np.float32
+
+
+class ShadeResult(NamedTuple):
+    hit_value: Any     # (N, 3) prd.hitValue
+    hit_position: Any  # (N, 3) prd.hitPosition (0 on miss)
+    atten_factor: Any  # (N, 3) multiplied into prd.attenuation (rchit:127)
+    done: Any          # (N,) bool — no reflection requested
+    next_origin: Any   # (N, 3)
+    next_dir: Any      # (N, 3)
+
+
+def _reflect(d, n):
+    return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), F32(1e-30))
+
+
+def _sample_texture(scene: Scene, tex_id, uv):
+    """Bilinear, repeat addressing — replaces `texture(textureSamplers[...])`
+    (raytrace.rchit:83)."""
+    data = scene.textures.data
+    sizes = scene.textures.sizes
+    h = sizes[tex_id, 0].astype(F32)
+    w = sizes[tex_id, 1].astype(F32)
+    x = (uv[:, 0] % 1.0) * w - F32(0.5)
+    y = (uv[:, 1] % 1.0) * h - F32(0.5)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    hs = sizes[tex_id, 0]
+    ws = sizes[tex_id, 1]
+
+    def tap(xi, yi):
+        xi = jnp.mod(xi.astype(jnp.int32), ws)
+        yi = jnp.mod(yi.astype(jnp.int32), hs)
+        return data[tex_id, yi, xi]
+
+    return (tap(x0, y0) * (1 - fx) * (1 - fy)
+            + tap(x0 + 1, y0) * fx * (1 - fy)
+            + tap(x0, y0 + 1) * (1 - fx) * fy
+            + tap(x0 + 1, y0 + 1) * fx * fy)
+
+
+def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
+          backend: str = "jnp") -> ShadeResult:
+    n = origins.shape[0]
+    tris = scene.triangles
+    tor = scene.tori
+    mats = scene.materials
+
+    missed = hit.kind < 0
+    prim = jnp.maximum(hit.prim, 0)
+    is_tor = hit.kind == 1
+    tri_prim = jnp.where(is_tor, 0, prim)
+    tor_prim = jnp.where(is_tor, prim, 0)
+    tor_prim = jnp.minimum(tor_prim, tor.world_to_obj.shape[0] - 1)
+
+    # hit point along the ray (rchit:94,134); t clamped so the BIG miss
+    # sentinel doesn't overflow fp32 (missed lanes are masked below)
+    ray_hit_pos = origins + jnp.minimum(hit.t, F32(1.0e8))[:, None] * dirs
+
+    # --- triangle attributes, barycentric interpolation (rchit:43-54) ---
+    w = F32(1.0) - hit.u - hit.v
+    v0 = tris.v0[tri_prim]
+    tri_pos = v0 + hit.u[:, None] * tris.e1[tri_prim] + hit.v[:, None] * tris.e2[tri_prim]
+    tri_nrm = (w[:, None] * tris.n0[tri_prim] + hit.u[:, None] * tris.n1[tri_prim]
+               + hit.v[:, None] * tris.n2[tri_prim])
+    tri_uv = (w[:, None] * tris.uv0[tri_prim] + hit.u[:, None] * tris.uv1[tri_prim]
+              + hit.v[:, None] * tris.uv2[tri_prim])
+    tri_mat = tris.mat_id[tri_prim]
+
+    # --- torus attributes (object-space normal -> world) ---
+    M = tor.world_to_obj[tor_prim]  # (N, 3, 4)
+    p_obj = jnp.einsum("nij,nj->ni", M[:, :, :3], ray_hit_pos, precision="highest") + M[:, :, 3]
+    n_obj = torus_geom.torus_normal(jnp, p_obj, tor.major_radius[tor_prim])
+    n_tor = jnp.einsum("ni,nij->nj", n_obj, M[:, :, :3], precision="highest")  # inverse-transpose (rchit:54)
+    tor_mat = tor.mat_id[tor_prim]
+
+    world_pos = jnp.where(is_tor[:, None], ray_hit_pos, tri_pos)
+    nrm = _normalize(jnp.where(is_tor[:, None], n_tor, tri_nrm))
+    mat_id = jnp.where(is_tor, tor_mat, tri_mat)
+
+    ambient = mats.ambient[mat_id]
+    diffuse_c = mats.diffuse[mat_id]
+    specular_c = mats.specular[mat_id]
+    shininess = mats.shininess[mat_id]
+    illum = mats.illum[mat_id]
+    tex_id = jnp.where(is_tor, -1, mats.texture_id[mat_id])
+
+    # --- light (rchit:57-71) ---
+    light = settings.light
+    lpos = jnp.asarray(light.position, F32)
+    is_point = jnp.asarray(light.type, jnp.int32) == LIGHT_POINT
+    ldir = lpos[None, :] - world_pos
+    ldist_pt = jnp.linalg.norm(ldir, axis=-1)
+    L_pt = ldir / jnp.maximum(ldist_pt[:, None], F32(1e-20))
+    L_inf = jnp.broadcast_to(_normalize(lpos[None, :]), world_pos.shape)
+    L = jnp.where(is_point, L_pt, L_inf)
+    ldist = jnp.where(is_point, ldist_pt, F32(100000.0))
+    lint = jnp.where(
+        is_point,
+        jnp.asarray(light.intensity, F32) / jnp.maximum(ldist_pt * ldist_pt, F32(1e-20)),
+        jnp.asarray(light.intensity, F32),
+    )
+
+    # --- computeDiffuse (wavefront.glsl:23-31) ---
+    ndotl = jnp.sum(nrm * L, axis=-1)
+    diffuse = diffuse_c * jnp.maximum(ndotl, 0.0)[:, None]
+    diffuse = jnp.where((illum >= 1)[:, None], diffuse + ambient, diffuse)
+
+    # texture modulation (rchit:79-84); static skip when scene has no textures
+    if scene.textures.data.shape[1] > 1 or scene.textures.data.shape[2] > 1:
+        texel = _sample_texture(scene, jnp.maximum(tex_id, 0), tri_uv)
+        diffuse = jnp.where((tex_id >= 0)[:, None], diffuse * texel, diffuse)
+
+    # --- shadow ray (rchit:89-120): only where dot(N, L) > 0 ---
+    facing = ndotl > 0.0
+    need_shadow = facing & ~missed
+    # dense any-hit; rays that don't need the query get tmax=0 (never hits)
+    shadow_tmax = jnp.where(need_shadow, ldist, F32(0.0))
+    shadowed = any_hit(scene, ray_hit_pos, L, shadow_tmax, backend=backend)
+    shadowed = shadowed & need_shadow
+
+    attenuation_local = jnp.where(shadowed, F32(0.3), F32(1.0))
+
+    # --- computeSpecular (wavefront.glsl:34-50) ---
+    kshine = jnp.maximum(shininess, 4.0)
+    energy = (F32(2.0) + kshine) / F32(2.0 * np.pi)
+    V = _normalize(-dirs)
+    Rv = _reflect(-L, nrm)
+    spec = energy * jnp.power(jnp.maximum(jnp.sum(V * Rv, axis=-1), 0.0), kshine)
+    spec = jnp.where((illum >= 2) & facing & ~shadowed, spec, 0.0)
+    specular = specular_c * spec[:, None]
+
+    hit_value = (attenuation_local * lint)[:, None] * (diffuse + specular)
+
+    # --- miss (rmiss:16-22) ---
+    clear = jnp.asarray(settings.clear_color, F32)[:3] * F32(0.8)
+    hit_value = jnp.where(missed[:, None], clear[None, :], hit_value)
+    hit_position = jnp.where(missed[:, None], F32(0.0), ray_hit_pos)
+
+    # --- reflection request (rchit:122-131) ---
+    reflective = (illum == 3) & ~missed
+    atten_factor = jnp.where(reflective[:, None], specular_c, F32(1.0))
+
+    return ShadeResult(
+        hit_value=hit_value.astype(F32),
+        hit_position=hit_position.astype(F32),
+        atten_factor=atten_factor.astype(F32),
+        done=~reflective,
+        next_origin=world_pos.astype(F32),
+        next_dir=_reflect(dirs, nrm).astype(F32),
+    )

@@ -1,0 +1,91 @@
+"""Wavefront bounce loop over a ray-state pytree.
+
+The reference already expresses bounces iteratively in raygen (the payload
+round-trip at VKT/ray_tracing__before/shaders/raytrace.rgen:75-108, derived in
+VKT/ray_tracing_reflections/README.md:118-208 to avoid deep shader recursion).
+That loop maps 1:1 onto `lax.while_loop` over a RayState pytree with a live
+mask; the loop exits as soon as no ray wants another bounce
+(`prd.done == 1 || depth >= maxDepth`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toroidal_ray_tracing_tpu.scene.types import RenderSettings, Scene
+from toroidal_ray_tracing_tpu.trace.intersect import closest_hit
+from toroidal_ray_tracing_tpu.trace.shade import shade
+
+F32 = np.float32
+
+
+class RayState(NamedTuple):
+    """Vectorized `hitPayload` + raygen locals (raycommon.glsl:2-12,
+    rgen:64-73)."""
+
+    origin: Any        # (N, 3)
+    dir: Any           # (N, 3)
+    hit_value: Any     # (N, 3) accumulated color
+    attenuation: Any   # (N, 3) prd.attenuation
+    hit_position: Any  # (N, 3) first-hit position (RenderedData.pos)
+    active: Any        # (N,) bool — still bouncing
+    depth: Any         # () i32
+
+
+def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
+               backend: str = "jnp"):
+    """Run the bounce loop for a batch of primary rays.
+
+    Returns (hit_value, hit_position): the color and first-hit buffers the
+    raygen writes to `RenderedData` (rgen:110-115).
+    """
+    n = origins.shape[0]
+    max_depth = jnp.asarray(settings.max_depth, jnp.int32)
+
+    init = RayState(
+        origin=origins,
+        dir=dirs,
+        hit_value=jnp.zeros((n, 3), F32),
+        attenuation=jnp.ones((n, 3), F32),
+        hit_position=jnp.zeros((n, 3), F32),
+        active=jnp.ones((n,), bool),
+        depth=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(state: RayState):
+        # the rgen loop is a do-while (rgen:75-108): it always traces the
+        # primary segment, even when maxDepth <= 0
+        return jnp.any(state.active) & ((state.depth < max_depth)
+                                        | (state.depth == 0))
+
+    def body(state: RayState) -> RayState:
+        hit = closest_hit(scene, state.origin, state.dir, backend=backend)
+        sh = shade(scene, settings, state.origin, state.dir, hit, backend=backend)
+
+        live = state.active[:, None]
+        # rchit multiplies prd.attenuation before rgen accumulates
+        # (rchit:127 runs inside traceRayEXT, before rgen:92)
+        attenuation = jnp.where(live, state.attenuation * sh.atten_factor,
+                                state.attenuation)
+        hit_value = jnp.where(live, state.hit_value + sh.hit_value * attenuation,
+                              state.hit_value)
+        record_first = ((state.depth == 0) & state.active)[:, None]
+        hit_position = jnp.where(record_first, sh.hit_position,
+                                 state.hit_position)
+
+        active = state.active & ~sh.done & (state.depth + 1 < max_depth)
+        origin = jnp.where(active[:, None], sh.next_origin, state.origin)
+        direction = jnp.where(active[:, None], sh.next_dir, state.dir)
+
+        return RayState(
+            origin=origin, dir=direction, hit_value=hit_value,
+            attenuation=attenuation, hit_position=hit_position,
+            active=active, depth=state.depth + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.hit_value, final.hit_position
