@@ -36,7 +36,8 @@ def moller_trumbore(xp, origins, dirs, v0, e1, e2, tmin, tmax, eps=1e-8):
 
     pvec = xp.cross(d, e2)
     det = xp.sum(e1 * pvec, axis=-1)
-    inv_det = xp.where(xp.abs(det) > eps, F32(1.0) / det, F32(0.0))
+    det_ok = xp.abs(det) > eps
+    inv_det = xp.where(det_ok, F32(1.0), F32(0.0)) / xp.where(det_ok, det, F32(1.0))
     tvec = o - v0
     u = xp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = xp.cross(tvec, e1)
@@ -78,7 +79,8 @@ def intersect_woop(xp, origins, dirs, woop_o, woop_d, tmin, tmax):
     dp = mm(dirs, woop_d).reshape(N, 3, T)  # d'
 
     dz = dp[:, 2, :]
-    inv_dz = xp.where(xp.abs(dz) > F32(1e-12), F32(1.0) / dz, F32(0.0))
+    dz_ok = xp.abs(dz) > F32(1e-12)
+    inv_dz = xp.where(dz_ok, F32(1.0), F32(0.0)) / xp.where(dz_ok, dz, F32(1.0))
     t = -op[:, 2, :] * inv_dz
     u = op[:, 0, :] + t * dp[:, 0, :]
     v = op[:, 1, :] + t * dp[:, 1, :]
