@@ -1,0 +1,77 @@
+"""Headline benchmark: Mrays/sec/chip, 1080p, 3-bounce reflective scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+vs_baseline is the ratio against the BASELINE.json target of 100 Mrays/s/chip
+(the reference publishes no numbers of its own — BASELINE.md).
+
+Ray accounting matches the reference's traceRayEXT semantics: one closest-hit
+query per live ray per bounce plus one shadow ray per lit hit
+(raytrace.rgen:75-108, raytrace.rchit:89-120) — counted on device by the
+wavefront loop, NOT as width*height*bounces.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    backend = "pallas"
+    if "--jnp" in sys.argv:
+        backend = "jnp"
+    width, height = 1920, 1080
+    frames = int(next((a.split("=")[1] for a in sys.argv
+                       if a.startswith("--frames=")), 4))
+
+    import jax
+
+    from toroidal_ray_tracing_tpu.cameras import PinholeCamera
+    from toroidal_ray_tracing_tpu.render import render
+    from toroidal_ray_tracing_tpu.scene import (RenderSettings, build_scene,
+                                                procedural)
+
+    scene = build_scene(procedural.scene_multi_torus(analytic=True))
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    settings = RenderSettings.default(max_depth=3)
+
+    def frame():
+        out = render(scene, cam, width, height, settings, backend=backend)
+        return out["image"], out["rays_traced"]
+
+    try:
+        img, nrays = frame()  # compile + warm up
+        img.block_until_ready()
+    except Exception:
+        if backend == "pallas":  # fall back if the kernel path regresses
+            backend = "jnp"
+            img, nrays = frame()
+            img.block_until_ready()
+        else:
+            raise
+
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        img, nrays = frame()
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    rays_per_frame = float(nrays)
+    mrays = rays_per_frame * frames / dt / 1e6
+    n_chips = max(len(jax.devices()), 1)
+    value = mrays / n_chips
+
+    print(json.dumps({
+        "metric": "Mrays/sec/chip @1080p 3-bounce reflective "
+                  f"({backend} backend)",
+        "value": round(value, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,19 +9,23 @@ that run on a real slice.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The env var JAX_PLATFORMS is pinned to "axon" by the harness sitecustomize
+# and survives os.environ edits; the config update below is what actually
+# forces the CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the quartic-heavy render graphs take ~1 min
 # each to compile on CPU XLA; cache them across test runs.
 _cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
 _cache.mkdir(exist_ok=True)
-import jax  # noqa: E402
-
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

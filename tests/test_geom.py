@@ -18,9 +18,8 @@ F32 = np.float32
 
 def make_woop(v0, e1, e2):
     W, c, _ = _woop_matrices(v0, e1, e2)
-    T = v0.shape[0]
-    woop_o = np.concatenate([W, c[:, :, None]], axis=2).transpose(2, 1, 0).reshape(4, 3 * T)
-    woop_d = W.transpose(2, 1, 0).reshape(3, 3 * T)
+    woop_o = np.concatenate([W, c[:, :, None]], axis=2).transpose(2, 1, 0)
+    woop_d = W.transpose(2, 1, 0)
     return woop_o.astype(F32), woop_d.astype(F32)
 
 

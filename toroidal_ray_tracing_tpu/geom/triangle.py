@@ -58,14 +58,15 @@ def moller_trumbore(xp, origins, dirs, v0, e1, e2, tmin, tmax, eps=1e-8):
 def intersect_woop(xp, origins, dirs, woop_o, woop_d, tmin, tmax):
     """Woop unit-triangle test via matmuls.
 
-    origins/dirs: (N, 3); woop_o: (4, 3T); woop_d: (3, 3T) with column layout
-    (component-major): column k*T + t holds component k of triangle t.
+    origins/dirs: (N, 3); woop_o: (4, 3, T); woop_d: (3, 3, T) — input dim x
+    output component x triangle (reshaped to (dim, 3T) matmul operands here).
 
     Returns (t, u, v, hit) each (N, T).
     """
     N = origins.shape[0]
-    T3 = woop_o.shape[1]
-    T = T3 // 3
+    T = woop_o.shape[2]
+    woop_o = woop_o.reshape(4, 3 * T)
+    woop_d = woop_d.reshape(3, 3 * T)
     oh = xp.concatenate([origins, xp.ones((N, 1), dtype=origins.dtype)], axis=1)
     if xp is np:
         mm = lambda a, b: a @ b  # noqa: E731

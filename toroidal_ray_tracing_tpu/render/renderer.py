@@ -68,11 +68,12 @@ def render(
         dirs = jax.device_put(dirs, out_sharding)
 
     if spp <= 1:
-        color, hitpos = _trace_jit(scene, settings, origins, dirs, backend)
+        color, hitpos, nrays = _trace_jit(scene, settings, origins, dirs, backend)
     else:
         rng = np.random.default_rng(seed)
         acc = None
         hitpos = None
+        nrays = 0.0
         for s in range(spp):
             if s == 0:
                 jitter = None  # center sample also provides hit/ray dumps
@@ -85,8 +86,9 @@ def render(
             if out_sharding is not None:
                 o = jax.device_put(o, out_sharding)
                 d = jax.device_put(d, out_sharding)
-            c, hp = _trace_jit(scene, settings, o, d, backend)
+            c, hp, nr = _trace_jit(scene, settings, o, d, backend)
             acc = c if acc is None else acc + c
+            nrays = nrays + nr
             if s == 0:
                 hitpos = hp
         color = acc / F32(spp)
@@ -97,4 +99,5 @@ def render(
         "hit_position": hitpos.reshape(shape),
         "ray_origin": origins.reshape(shape),
         "ray_dir": dirs.reshape(shape),
+        "rays_traced": nrays,
     }

@@ -206,8 +206,11 @@ def build_scene(
 
     W, c, degenerate = _woop_matrices(v0, e1, e2)
     valid &= ~degenerate
-    woop_o = np.concatenate([W, c[:, :, None]], axis=2).transpose(2, 1, 0).reshape(4, 3 * T).astype(F32)
-    woop_d = W.transpose(2, 1, 0).reshape(3, 3 * T).astype(F32)
+    # layout (4, 3, T): input-dim x output-component x triangle, so the
+    # triangle axis is last (shardable over a "prims" mesh axis) and a
+    # reshape to (4, 3T) yields the matmul operand
+    woop_o = np.concatenate([W, c[:, :, None]], axis=2).transpose(2, 1, 0).astype(F32)
+    woop_d = W.transpose(2, 1, 0).astype(F32)
 
     # cluster AABBs over the sorted array
     C = T // cluster_size

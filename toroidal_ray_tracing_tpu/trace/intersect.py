@@ -9,13 +9,19 @@ Two interchangeable backends:
   flash-attention-style kernel — the (rays x tris) matrix never leaves VMEM,
   with per-tile cluster culling. Selected via `backend="pallas"`.
 
+Multi-chip: intersection geometry can be *sharded over primitives* (a
+"tensor-parallel" axis). Each device tests its triangle/torus slice
+(`GeomSlice`), then per-ray winners combine with a lexicographic
+`lax.pmin` over the mesh axis — the renderer's only collective
+(SURVEY.md §2C: the reference's single-GPU pipeline has none at all).
+
 Hit kinds: 0 = triangle, 1 = torus, -1 = miss (the miss-shader branch,
 raytrace.rmiss).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Any
+from typing import NamedTuple, Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,14 +35,40 @@ F32 = np.float32
 BIG = F32(3.0e38)
 TMIN = F32(0.001)     # raytrace.rgen:61
 TMAX = F32(10000.0)   # raytrace.rgen:62
+_INT_MAX = np.int32(2147483647)
 
 
 class Hit(NamedTuple):
     t: Any       # (N,) f32, BIG on miss
     kind: Any    # (N,) i32: 0 tri, 1 torus, -1 miss
-    prim: Any    # (N,) i32 index into triangles or tori
+    prim: Any    # (N,) i32 index into triangles or tori (global)
     u: Any       # (N,) f32 triangle barycentric
     v: Any       # (N,) f32
+
+
+class GeomSlice(NamedTuple):
+    """The intersection-only geometry a device tests: possibly a shard of the
+    scene's primitives. Offsets map local indices back to global ids."""
+
+    woop_o: Any      # (4, 3, Tl)
+    woop_d: Any      # (3, 3, Tl)
+    tri_offset: Any  # () i32
+    tor_w2o: Any     # (Kl, 3, 4)
+    tor_major: Any   # (Kl,)
+    tor_minor: Any   # (Kl,)
+    tor_offset: Any  # () i32
+
+
+def geom_from_scene(scene: Scene) -> GeomSlice:
+    return GeomSlice(
+        woop_o=scene.triangles.woop_o,
+        woop_d=scene.triangles.woop_d,
+        tri_offset=jnp.asarray(0, jnp.int32),
+        tor_w2o=scene.tori.world_to_obj,
+        tor_major=scene.tori.major_radius,
+        tor_minor=scene.tori.minor_radius,
+        tor_offset=jnp.asarray(0, jnp.int32),
+    )
 
 
 def _ray_chunk(n_rays: int, n_prims: int, budget: int = 1 << 24) -> int:
@@ -48,49 +80,90 @@ def _ray_chunk(n_rays: int, n_prims: int, budget: int = 1 << 24) -> int:
     return max(c, 1)
 
 
-def _tri_hit_chunk(scene: Scene, o, d, tmax):
+def _tri_hit_chunk(geom: GeomSlice, o, d, tmax):
     """Per-chunk nearest triangle via the Woop test. o/d: (c, 3)."""
-    tris = scene.triangles
-    t, u, v, _ = intersect_woop(jnp, o, d, tris.woop_o, tris.woop_d, TMIN, tmax[:, None])
+    t, u, v, _ = intersect_woop(jnp, o, d, geom.woop_o, geom.woop_d,
+                                TMIN, tmax[:, None])
     prim = jnp.argmin(t, axis=1)
-    n = o.shape[0]
-    rows = jnp.arange(n)
-    return t[rows, prim], prim.astype(jnp.int32), u[rows, prim], v[rows, prim]
+    rows = jnp.arange(o.shape[0])
+    return (t[rows, prim], prim.astype(jnp.int32) + geom.tri_offset,
+            u[rows, prim], v[rows, prim])
 
 
-def _torus_hit_chunk(scene: Scene, o, d, tmax):
-    """Per-chunk nearest torus. o/d: (c, 3). Rays are transformed into every
-    torus's object space (affine t-preserving trick, cf. raytrace.rchit:50)."""
-    tor = scene.tori
-    W = tor.world_to_obj  # (K, 3, 4)
+def _torus_hit_chunk(geom: GeomSlice, o, d, tmax):
+    """Per-chunk nearest torus. Rays are transformed into every torus's
+    object space (affine t-preserving trick, cf. raytrace.rchit:50)."""
+    W = geom.tor_w2o  # (K, 3, 4)
     oo = jnp.einsum("nj,kij->nki", o, W[:, :, :3], precision="highest") + W[None, :, :, 3]
     dd = jnp.einsum("nj,kij->nki", d, W[:, :, :3], precision="highest")
     t, _ = torus_geom.torus_intersect(
-        jnp, oo, dd, tor.major_radius[None, :], tor.minor_radius[None, :],
+        jnp, oo, dd, geom.tor_major[None, :], geom.tor_minor[None, :],
         TMIN, tmax[:, None], newton_iters=3)
     prim = jnp.argmin(t, axis=1)
-    return t[jnp.arange(o.shape[0]), prim], prim.astype(jnp.int32)
+    return (t[jnp.arange(o.shape[0]), prim],
+            prim.astype(jnp.int32) + geom.tor_offset)
 
 
-def closest_hit(scene: Scene, origins, dirs, tmax=None, backend: str = "jnp") -> Hit:
-    """Nearest hit for every ray. origins/dirs: (N, 3) f32."""
+def combine_hits_over_axis(hit: Hit, axis: str) -> Hit:
+    """Merge per-shard winners into the global nearest hit (lexicographic
+    min on (t, prim*2+kind) so ties resolve deterministically)."""
+    t = jax.lax.pmin(hit.t, axis)
+    on_min = (hit.t == t) & (hit.kind >= 0)
+    key = jnp.where(on_min, hit.prim * 2 + hit.kind, _INT_MAX)
+    key = jax.lax.pmin(key, axis)
+    pick = on_min & (hit.prim * 2 + hit.kind == key)
+    u = jax.lax.pmax(jnp.where(pick, hit.u, -BIG), axis)
+    v = jax.lax.pmax(jnp.where(pick, hit.v, -BIG), axis)
+    missed = key == _INT_MAX
+    return Hit(
+        t=t,
+        kind=jnp.where(missed, -1, key & 1).astype(jnp.int32),
+        prim=jnp.where(missed, 0, key >> 1).astype(jnp.int32),
+        u=jnp.where(missed, F32(0.0), u),
+        v=jnp.where(missed, F32(0.0), v),
+    )
+
+
+def closest_hit(scene: Scene, origins, dirs, tmax=None, backend: str = "jnp",
+                geom: Optional[GeomSlice] = None,
+                prim_axis: Optional[str] = None) -> Hit:
+    """Nearest hit for every ray. origins/dirs: (N, 3) f32.
+
+    geom: geometry to test (defaults to the whole scene). prim_axis: mesh
+    axis name to combine partial hits over (geom is then this device's
+    shard).
+    """
     n = origins.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), TMAX, F32)
     else:
         tmax = jnp.broadcast_to(jnp.asarray(tmax, F32), (n,))
+    if geom is None:
+        geom = geom_from_scene(scene)
 
     if backend == "pallas":
         from toroidal_ray_tracing_tpu.ops.trace_kernel import closest_hit_pallas
 
-        return closest_hit_pallas(scene, origins, dirs, tmax)
+        hit = closest_hit_pallas(scene, geom, origins, dirs, tmax)
+    else:
+        hit = _closest_hit_jnp(scene, geom, origins, dirs, tmax)
 
+    if prim_axis is not None:
+        hit = combine_hits_over_axis(hit, prim_axis)
+    return hit
+
+
+def _closest_hit_jnp(scene: Scene, geom: GeomSlice, origins, dirs, tmax) -> Hit:
+    n = origins.shape[0]
+    n_tris = int(geom.woop_o.shape[2])
+    n_tori = int(geom.tor_major.shape[0])
+    # static skips: a scene with no real tris/tori still carries 1 padded row
     has_tris = bool(np.any(np.asarray(scene.triangles.valid))) if isinstance(
         scene.triangles.valid, np.ndarray) else True
     has_tori = bool(np.any(np.asarray(scene.tori.valid))) if isinstance(
         scene.tori.valid, np.ndarray) else True
 
-    chunk = _ray_chunk(n, max(scene.num_triangles, scene.num_tori * 8))
+    chunk = _ray_chunk(n, max(n_tris, n_tori * 8))
     pad = (-n) % chunk
     o = jnp.concatenate([origins, jnp.zeros((pad, 3), F32)]) if pad else origins
     d = jnp.concatenate([dirs, jnp.ones((pad, 3), F32)]) if pad else dirs
@@ -104,7 +177,7 @@ def closest_hit(scene: Scene, origins, dirs, tmax=None, backend: str = "jnp") ->
         u = jnp.zeros((oc.shape[0],), F32)
         v = jnp.zeros((oc.shape[0],), F32)
         if has_tris:
-            tt, tp, tu, tv = _tri_hit_chunk(scene, oc, dc, tc)
+            tt, tp, tu, tv = _tri_hit_chunk(geom, oc, dc, tc)
             better = tt < t_best
             t_best = jnp.where(better, tt, t_best)
             kind = jnp.where(better, 0, kind)
@@ -112,7 +185,7 @@ def closest_hit(scene: Scene, origins, dirs, tmax=None, backend: str = "jnp") ->
             u = jnp.where(better, tu, u)
             v = jnp.where(better, tv, v)
         if has_tori:
-            kt, kp = _torus_hit_chunk(scene, oc, dc, tc)
+            kt, kp = _torus_hit_chunk(geom, oc, dc, tc)
             better = kt < t_best
             t_best = jnp.where(better, kt, t_best)
             kind = jnp.where(better, 1, kind)
@@ -120,16 +193,19 @@ def closest_hit(scene: Scene, origins, dirs, tmax=None, backend: str = "jnp") ->
         return t_best, kind, prim, u, v
 
     nchunks = (n + pad) // chunk
-    o = o.reshape(nchunks, chunk, 3)
-    d = d.reshape(nchunks, chunk, 3)
-    tm = tm.reshape(nchunks, chunk)
-    t, kind, prim, u, v = jax.lax.map(chunk_fn, (o, d, tm))
+    t, kind, prim, u, v = jax.lax.map(
+        chunk_fn,
+        (o.reshape(nchunks, chunk, 3), d.reshape(nchunks, chunk, 3),
+         tm.reshape(nchunks, chunk)))
     flat = lambda x: x.reshape(-1)[:n]  # noqa: E731
     return Hit(t=flat(t), kind=flat(kind), prim=flat(prim), u=flat(u), v=flat(v))
 
 
-def any_hit(scene: Scene, origins, dirs, tmax, backend: str = "jnp"):
+def any_hit(scene: Scene, origins, dirs, tmax, backend: str = "jnp",
+            geom: Optional[GeomSlice] = None,
+            prim_axis: Optional[str] = None):
     """Occlusion query (shadow rays: TerminateOnFirstHit | SkipClosestHit,
     raytrace.rchit:96-109). Dense evaluation — returns a bool mask."""
-    hit = closest_hit(scene, origins, dirs, tmax=tmax, backend=backend)
+    hit = closest_hit(scene, origins, dirs, tmax=tmax, backend=backend,
+                      geom=geom, prim_axis=prim_axis)
     return hit.kind >= 0

@@ -30,6 +30,7 @@ class ShadeResult(NamedTuple):
     done: Any          # (N,) bool — no reflection requested
     next_origin: Any   # (N, 3)
     next_dir: Any      # (N, 3)
+    shadow_rays: Any   # (N,) bool — a shadow ray was traced (for Mrays stats)
 
 
 def _reflect(d, n):
@@ -69,7 +70,7 @@ def _sample_texture(scene: Scene, tex_id, uv):
 
 
 def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
-          backend: str = "jnp") -> ShadeResult:
+          backend: str = "jnp", geom=None, prim_axis=None) -> ShadeResult:
     n = origins.shape[0]
     tris = scene.triangles
     tor = scene.tori
@@ -145,7 +146,8 @@ def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
     need_shadow = facing & ~missed
     # dense any-hit; rays that don't need the query get tmax=0 (never hits)
     shadow_tmax = jnp.where(need_shadow, ldist, F32(0.0))
-    shadowed = any_hit(scene, ray_hit_pos, L, shadow_tmax, backend=backend)
+    shadowed = any_hit(scene, ray_hit_pos, L, shadow_tmax, backend=backend,
+                       geom=geom, prim_axis=prim_axis)
     shadowed = shadowed & need_shadow
 
     attenuation_local = jnp.where(shadowed, F32(0.3), F32(1.0))
@@ -177,4 +179,5 @@ def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
         done=~reflective,
         next_origin=world_pos.astype(F32),
         next_dir=_reflect(dirs, nrm).astype(F32),
+        shadow_rays=need_shadow,
     )

@@ -33,12 +33,20 @@ class RayState(NamedTuple):
     attenuation: Any   # (N, 3) prd.attenuation
     hit_position: Any  # (N, 3) first-hit position (RenderedData.pos)
     active: Any        # (N,) bool — still bouncing
+    any_active: Any    # () bool — global (cross-device) "some ray bouncing"
     depth: Any         # () i32
+    rays_traced: Any   # () i64-ish f32 — traceRayEXT-equivalent count
 
 
 def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
-               backend: str = "jnp"):
+               backend: str = "jnp", geom=None, prim_axis=None,
+               ray_axis=None):
     """Run the bounce loop for a batch of primary rays.
+
+    geom/prim_axis: primitive-sharded intersection (see intersect.py).
+    ray_axis: mesh axis the ray batch is sharded over — only used to make the
+    early-exit decision globally consistent (devices must agree on the
+    iteration count; the pmin combine inside the body is collective).
 
     Returns (hit_value, hit_position): the color and first-hit buffers the
     raygen writes to `RenderedData` (rgen:110-115).
@@ -53,18 +61,22 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         attenuation=jnp.ones((n, 3), F32),
         hit_position=jnp.zeros((n, 3), F32),
         active=jnp.ones((n,), bool),
+        any_active=jnp.asarray(True),
         depth=jnp.asarray(0, jnp.int32),
+        rays_traced=jnp.asarray(0.0, F32),
     )
 
     def cond(state: RayState):
         # the rgen loop is a do-while (rgen:75-108): it always traces the
         # primary segment, even when maxDepth <= 0
-        return jnp.any(state.active) & ((state.depth < max_depth)
-                                        | (state.depth == 0))
+        return state.any_active & ((state.depth < max_depth)
+                                   | (state.depth == 0))
 
     def body(state: RayState) -> RayState:
-        hit = closest_hit(scene, state.origin, state.dir, backend=backend)
-        sh = shade(scene, settings, state.origin, state.dir, hit, backend=backend)
+        hit = closest_hit(scene, state.origin, state.dir, backend=backend,
+                          geom=geom, prim_axis=prim_axis)
+        sh = shade(scene, settings, state.origin, state.dir, hit,
+                   backend=backend, geom=geom, prim_axis=prim_axis)
 
         live = state.active[:, None]
         # rchit multiplies prd.attenuation before rgen accumulates
@@ -81,11 +93,24 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         origin = jnp.where(active[:, None], sh.next_origin, state.origin)
         direction = jnp.where(active[:, None], sh.next_dir, state.dir)
 
+        # the early-exit decision must be identical on every device (the
+        # body contains collectives when prim_axis is set)
+        any_active = jnp.any(active)
+        for ax in (ray_axis, prim_axis):
+            if ax is not None:
+                any_active = jax.lax.pmax(any_active.astype(jnp.int32), ax) > 0
+
+        # traceRayEXT-equivalent count: one closest-hit per live ray plus one
+        # shadow ray per lit hit (raytrace.rchit:90-109)
+        rays = state.rays_traced + jnp.sum(state.active.astype(F32)) \
+            + jnp.sum((state.active & sh.shadow_rays).astype(F32))
+
         return RayState(
             origin=origin, dir=direction, hit_value=hit_value,
             attenuation=attenuation, hit_position=hit_position,
-            active=active, depth=state.depth + 1,
+            active=active, any_active=any_active, depth=state.depth + 1,
+            rays_traced=rays,
         )
 
     final = jax.lax.while_loop(cond, body, init)
-    return final.hit_value, final.hit_position
+    return final.hit_value, final.hit_position, final.rays_traced
