@@ -18,8 +18,8 @@ F32 = np.float32
 
 def make_woop(v0, e1, e2):
     W, c, _ = _woop_matrices(v0, e1, e2)
-    woop_o = np.concatenate([W, c[:, :, None]], axis=2).transpose(2, 1, 0)
-    woop_d = W.transpose(2, 1, 0)
+    woop_o = np.concatenate([W, c[:, :, None]], axis=2).transpose(1, 2, 0)
+    woop_d = W.transpose(1, 2, 0)
     return woop_o.astype(F32), woop_d.astype(F32)
 
 

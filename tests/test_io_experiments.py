@@ -1,0 +1,145 @@
+"""Capture-IO, point-cloud reprojection and experiment-driver tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from toroidal_ray_tracing_tpu.cameras import PinholeCamera, ToroidalCamera
+from toroidal_ray_tracing_tpu.io import dumps
+from toroidal_ray_tracing_tpu.pointcloud import splat_points
+from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene, procedural
+
+F32 = np.float32
+
+
+class TestDumps:
+    def test_rho_tag_matches_cpp_to_string(self):
+        assert dumps.rho_tag(4.0) == "4.000000"
+        assert dumps.rho_tag(4.5) == "4.500000"
+
+    def test_position_roundtrip_ssbo_order(self, tmp_path):
+        """Positions dump in SSBO (x*H + y) order (raytrace.rgen:72)."""
+        h, w = 4, 6
+        img = np.arange(h * w * 3, dtype=F32).reshape(h, w, 3)
+        path = dumps.write_rendered_position(str(tmp_path), 4.0, img)
+        assert path.endswith("renderedPosition4.000000.txt")
+        back = dumps.read_points(path)
+        # row i of the file is pixel (x = i // H, y = i % H)
+        for i in [0, 1, h, h * w - 1]:
+            x, y = i // h, i % h
+            np.testing.assert_allclose(back[i], img[y, x], rtol=1e-5)
+
+    def test_color_roundtrip_row_order(self, tmp_path):
+        h, w = 4, 6
+        img = np.random.default_rng(0).random((h, w, 3)).astype(F32)
+        path = dumps.write_color_image(str(tmp_path), 5.5, img)
+        assert path.endswith("renderedColor5.500000.txt")
+        back = dumps.read_points(path).reshape(h, w, 3)
+        np.testing.assert_allclose(back, img, rtol=2e-5, atol=1e-6)
+
+    def test_nan_sentinel(self, tmp_path):
+        """`-nan` and junk lines parse to float lowest (loadPoints,
+        before_second/hello_vulkan.cpp:542-549)."""
+        p = tmp_path / "pts.txt"
+        p.write_text("1 2 3\n-nan -nan -nan\nnot a number\n4 5 6\n")
+        pts = dumps.read_points(str(p))
+        assert pts.shape == (4, 3)
+        np.testing.assert_allclose(pts[0], [1, 2, 3])
+        assert (pts[1] == dumps.FLOAT_LOWEST).all()
+        assert (pts[2] == dumps.FLOAT_LOWEST).all()
+
+    def test_position_color_realign(self, tmp_path):
+        h, w = 3, 5
+        pos = np.random.default_rng(1).random((h, w, 3)).astype(F32)
+        col = np.random.default_rng(2).random((h, w, 3)).astype(F32)
+        dumps.write_rendered_position(str(tmp_path), 4.0, pos)
+        dumps.write_color_image(str(tmp_path), 4.0, col)
+        p, c = dumps.read_position_color(str(tmp_path), 4.0, w, h)
+        # both come back in SSBO order and correspond pixel-for-pixel
+        i = 2 * h + 1  # pixel (x=2, y=1)
+        np.testing.assert_allclose(p[i], pos[1, 2], rtol=1e-5)
+        np.testing.assert_allclose(c[i], col[1, 2], rtol=1e-5)
+
+    def test_mismatch_raises(self, tmp_path):
+        dumps.write_rendered_position(str(tmp_path), 4.0,
+                                      np.zeros((2, 2, 3), F32))
+        (tmp_path / "data" / "renderedColor4.000000.txt").write_text("1 2 3\n")
+        with pytest.raises(ValueError):
+            dumps.read_position_color(str(tmp_path), 4.0, 2, 2)
+
+
+class TestSplat:
+    def test_single_point_lands_at_projection(self):
+        cam = PinholeCamera(eye=(0.0, 0.0, 5.0), center=(0.0, 0.0, 0.0))
+        pos = np.array([[0.0, 0.0, 0.0]], F32)
+        col = np.array([[1.0, 0.0, 0.0]], F32)
+        img = np.asarray(splat_points(pos, col, cam, 32, 32,
+                                      clear_color=(0, 0, 0)))
+        ys, xs = np.nonzero(img[:, :, 0] > 0.5)
+        assert len(ys) >= 1
+        assert abs(ys.mean() - 15.5) < 2.0 and abs(xs.mean() - 15.5) < 2.0
+
+    def test_depth_test_near_wins(self):
+        cam = PinholeCamera(eye=(0.0, 0.0, 5.0), center=(0.0, 0.0, 0.0))
+        pos = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, 0.0]], F32)  # first nearer
+        col = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]], F32)
+        img = np.asarray(splat_points(pos, col, cam, 16, 16,
+                                      clear_color=(0, 0, 0)))
+        cy = img[7:9, 7:9]
+        assert cy[..., 1].max() > 0.5 and cy[..., 0].max() < 0.5
+
+    def test_sentinel_points_dropped(self):
+        cam = PinholeCamera(eye=(0.0, 0.0, 5.0))
+        pos = np.full((3, 3), dumps.FLOAT_LOWEST, F32)
+        col = np.ones((3, 3), F32)
+        img = np.asarray(splat_points(pos, col, cam, 8, 8,
+                                      clear_color=(0.2, 0.2, 0.2)))
+        np.testing.assert_allclose(img, 0.2, atol=1e-6)
+
+
+class TestExperiments:
+    def test_rho_sweep_small(self, tmp_path):
+        from toroidal_ray_tracing_tpu.experiments import rho_sweep
+
+        sd = procedural.scene_torus_plane(analytic=True)
+        cam = ToroidalCamera(eye=(0.0, 1.0, 0.0), center=(8.0, 0.0, 0.0))
+        files = rho_sweep.run_sweep(
+            sd, str(tmp_path), cam, width=16, height=16,
+            settings=RenderSettings.default(max_depth=1), save_rays=True)
+        rhos = rho_sweep.rho_values()
+        assert rhos[0] == 4.0 and rhos[-1] == 10.0 and len(rhos) == 13
+        assert len(files) == 2 * 13 + 2
+        assert os.path.exists(tmp_path / "data" / "renderedPosition4.000000.txt")
+        assert os.path.exists(tmp_path / "data" / "origins.txt")
+        # origins dump must match the rho=4 ring radius
+        orig = dumps.read_points(str(tmp_path / "data" / "origins.txt"))
+        radial = np.sqrt(orig[:, 0] ** 2 + orig[:, 2] ** 2)
+        np.testing.assert_allclose(radial, 4.0, rtol=1e-4)
+
+    def test_gtruth_and_reproject_pipeline(self, tmp_path):
+        """Full 3-app pipeline: capture -> gTruth -> reproject + compare."""
+        from toroidal_ray_tracing_tpu.experiments import gtruth, reproject, rho_sweep
+
+        sd = procedural.scene_torus_plane(analytic=True)
+        cam_t = ToroidalCamera(eye=(0.0, 1.5, 0.0), center=(8.0, 0.0, 0.0))
+        st = RenderSettings.default(max_depth=1)
+        rho_sweep.run_sweep(sd, str(tmp_path), cam_t, 24, 24, st,
+                            save_rays=False)
+        cam_p = PinholeCamera(eye=(8.0, 4.0, 8.0), center=(0.0, 0.5, 0.0))
+        gtruth.run_gtruth(sd, str(tmp_path), "test", cam_p, 24, 24, st,
+                          save_png=False)
+        img, files, rmse = reproject.run_reproject(
+            str(tmp_path), 4.0, "test", cam_p, 24, 24, 24, 24,
+            save_png=False)
+        assert img.shape == (24, 24, 3)
+        assert os.path.exists(tmp_path / "data" / "testptCloudImage_10.txt")
+        assert rmse is not None  # gTruth found and compared
+
+    def test_scenario_table(self):
+        from toroidal_ray_tracing_tpu.experiments.configs import SCENARIOS
+
+        assert sorted(SCENARIOS) == [1, 2, 3, 4, 5]
+        assert SCENARIOS[3].width == 1920 and SCENARIOS[3].max_depth == 3
+        assert SCENARIOS[4].max_depth == 5
+        assert SCENARIOS[5].width == 3840 and SCENARIOS[5].spp > 1

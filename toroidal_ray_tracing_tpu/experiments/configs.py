@@ -1,0 +1,134 @@
+"""The BASELINE.json scenario ladder as runnable configurations.
+
+The reference has no config system — scene selection and camera poses are
+blocks of commented-out code (VKT/ray_tracing__before/main.cpp:124-132,
+200-219; SURVEY.md §5 "Config / flag system"). Here each scenario is a
+dataclass: `python -m toroidal_ray_tracing_tpu.experiments.configs --run 3`.
+
+Scenarios (BASELINE.json "configs"):
+  1. single torus, primary rays only, 256x256, flat shading
+  2. torus + ground plane, Lambertian + hard shadows, 512x512
+  3. multi-torus with specular reflections, 3 bounces, 1080p
+  4. instanced torus grid (~1k), TLAS-style culling, 1080p, 5 bounces
+  5. 4K animated camera fly-through, jittered AA (sustained throughput)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from toroidal_ray_tracing_tpu.cameras import PinholeCamera
+from toroidal_ray_tracing_tpu.render import render, tonemap
+from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene, procedural
+
+
+@dataclasses.dataclass
+class Scenario:
+    name: str
+    scene: Callable
+    width: int
+    height: int
+    max_depth: int
+    spp: int = 1
+    camera: Optional[PinholeCamera] = None
+    animate_frames: int = 0  # >0: fly-through
+
+    def build(self):
+        return build_scene(self.scene())
+
+    def camera_at(self, frame: int = 0):
+        if self.camera is not None and self.animate_frames == 0:
+            return self.camera
+        # orbiting fly-through for the animated scenario
+        a = 2.0 * math.pi * frame / max(self.animate_frames, 1)
+        eye = (10.0 * math.cos(a), 5.0 + 1.5 * math.sin(2 * a),
+               10.0 * math.sin(a))
+        return PinholeCamera(eye=eye, center=(0.0, 0.5, 0.0))
+
+    def settings(self):
+        return RenderSettings.default(max_depth=self.max_depth)
+
+
+SCENARIOS = {
+    1: Scenario("config1_single_torus",
+                lambda: procedural.scene_single_torus(analytic=True),
+                256, 256, 1,
+                camera=PinholeCamera(eye=(6.0, 3.0, 6.0))),
+    2: Scenario("config2_torus_plane",
+                lambda: procedural.scene_torus_plane(analytic=True),
+                512, 512, 1,
+                camera=PinholeCamera(eye=(7.0, 4.0, 7.0),
+                                     center=(0.0, 0.5, 0.0))),
+    3: Scenario("config3_multi_torus",
+                lambda: procedural.scene_multi_torus(analytic=True),
+                1920, 1080, 3,
+                camera=PinholeCamera(eye=(8.0, 5.0, 8.0),
+                                     center=(0.0, 0.5, 0.0))),
+    4: Scenario("config4_instanced_grid",
+                lambda: procedural.scene_instanced_torus_grid(n=1024),
+                1920, 1080, 5,
+                camera=PinholeCamera(eye=(25.0, 18.0, 25.0),
+                                     center=(0.0, 0.0, 0.0))),
+    5: Scenario("config5_4k_flythrough",
+                lambda: procedural.scene_multi_torus(analytic=True),
+                3840, 2160, 3, spp=2, animate_frames=8),
+}
+
+
+def run_scenario(num: int, backend: str = "jnp", out_dir: str | None = None,
+                 frames: int | None = None):
+    sc = SCENARIOS[num]
+    scene = sc.build()
+    st = sc.settings()
+    n_frames = frames if frames is not None else max(sc.animate_frames, 1)
+
+    results = []
+    total_rays = 0.0
+    t_start = None
+    for f in range(n_frames):
+        cam = sc.camera_at(f)
+        out = render(scene, cam, sc.width, sc.height, st, backend=backend,
+                     spp=sc.spp, seed=f)
+        out["image"].block_until_ready()
+        if f == 0:
+            t_start = time.perf_counter()  # exclude compile
+        else:
+            total_rays += float(out["rays_traced"])
+        results.append(out)
+    elapsed = (time.perf_counter() - t_start) if n_frames > 1 else None
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        from PIL import Image
+
+        img = np.asarray(tonemap(results[-1]["image"]))
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, f"{sc.name}.png"))
+
+    stats = {"scenario": sc.name, "frames": n_frames,
+             "rays_per_frame": float(results[0]["rays_traced"])}
+    if elapsed and total_rays:
+        stats["mrays_per_s"] = total_rays / elapsed / 1e6
+    return results[-1], stats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--run", type=int, required=True, choices=sorted(SCENARIOS))
+    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--frames", type=int, default=None)
+    args = ap.parse_args(argv)
+    _, stats = run_scenario(args.run, args.backend, args.out, args.frames)
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

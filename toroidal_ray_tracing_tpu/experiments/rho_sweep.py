@@ -1,0 +1,117 @@
+"""App-1 experiment driver: the rho sweep capture protocol.
+
+Replicates VKT/ray_tracing__before/main.cpp:239-257,337-341,376-402:
+render the scene through the toroidal camera for rho = 4.0 .. 10.0 in 0.5
+steps (the reference advances every 60 frames purely to let the UI breathe —
+one render per step here), dumping per-step position + color text files, and
+optionally the per-pixel ray origins/directions.
+
+The reference's `updateSubjectPosition` (hello_vulkan.cpp:963-986) pins
+instance 0 — the `cube_multi` "subject" avatar — to the camera eye each frame
+via a TLAS refit; `subject_follow=True` replicates that by re-baking instance
+0's translation to the eye (scene flattening is the refit analog,
+SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+from toroidal_ray_tracing_tpu.cameras import ToroidalCamera
+from toroidal_ray_tracing_tpu.io import dumps
+from toroidal_ray_tracing_tpu.render import render
+from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene, procedural
+from toroidal_ray_tracing_tpu.utils import math3d
+
+RHO_START = 4.0   # main.cpp:245
+RHO_END = 10.0    # main.cpp:399-402
+RHO_STEP = 0.5    # main.cpp:339
+
+
+def rho_values():
+    return [RHO_START + i * RHO_STEP
+            for i in range(int(round((RHO_END - RHO_START) / RHO_STEP)) + 1)]
+
+
+def run_sweep(
+    scene_def,
+    out_dir: str,
+    camera: ToroidalCamera | None = None,
+    width: int = 1920,   # SAMPLE_WIDTH/HEIGHT (main.cpp:77-78)
+    height: int = 1080,
+    settings: RenderSettings | None = None,
+    backend: str = "jnp",
+    save_rays: bool = True,
+    subject_follow: bool = False,
+    save_npz: bool = False,
+):
+    """Run the full sweep; returns the list of written files."""
+    if camera is None:
+        # reference default pose: lookat (0,0,0) -> (10,0,0) (main.cpp:123-133)
+        camera = ToroidalCamera(eye=(0.0, 0.0, 0.0), center=(10.0, 0.0, 0.0))
+    if settings is None:
+        settings = RenderSettings.default()
+    os.makedirs(out_dir, exist_ok=True)
+
+    if subject_follow and scene_def.instances:
+        xf = np.array(scene_def.instances[0].transform, copy=True)
+        xf[:3, 3] = np.asarray(camera.eye, np.float32)
+        scene_def.instances[0].transform = xf
+    scene = build_scene(scene_def)
+
+    written = []
+    for i, rho in enumerate(rho_values()):
+        st = settings._replace(rho=np.float32(rho))
+        out = render(scene, camera, width, height, st, backend=backend)
+        hitpos = np.asarray(out["hit_position"])
+        image = np.asarray(out["image"])
+        written.append(dumps.write_rendered_position(out_dir, rho, hitpos))
+        written.append(dumps.write_color_image(out_dir, rho, image))
+        if save_rays and i == 0:  # reference writes rays once per run
+            written.extend(dumps.write_rendered_rays(
+                out_dir, np.asarray(out["ray_origin"]),
+                np.asarray(out["ray_dir"])))
+        if save_npz:
+            written.append(dumps.save_render_npz(
+                os.path.join(out_dir, f"render_rho{dumps.rho_tag(rho)}.npz"),
+                out))
+    return written
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scene", default="cornellish",
+                    choices=["cornellish", "torus_plane", "multi_torus",
+                             "single_torus", "instanced_grid"])
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--eye", type=float, nargs=3, default=(0.0, 0.0, 0.0))
+    ap.add_argument("--center", type=float, nargs=3, default=(10.0, 0.0, 0.0))
+    ap.add_argument("--max-depth", type=int, default=10)
+    ap.add_argument("--subject-follow", action="store_true")
+    ap.add_argument("--npz", action="store_true")
+    args = ap.parse_args(argv)
+
+    scene_def = {
+        "cornellish": procedural.scene_cornellish,
+        "torus_plane": procedural.scene_torus_plane,
+        "multi_torus": procedural.scene_multi_torus,
+        "single_torus": procedural.scene_single_torus,
+        "instanced_grid": procedural.scene_instanced_torus_grid,
+    }[args.scene]()
+    cam = ToroidalCamera(eye=tuple(args.eye), center=tuple(args.center))
+    st = RenderSettings.default(max_depth=args.max_depth)
+    files = run_sweep(scene_def, args.out, cam, args.width, args.height, st,
+                      backend=args.backend, subject_follow=args.subject_follow,
+                      save_npz=args.npz)
+    print(f"wrote {len(files)} files under {args.out}")
+
+
+if __name__ == "__main__":
+    main()

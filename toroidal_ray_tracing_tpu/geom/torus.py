@@ -24,6 +24,66 @@ F32 = np.float32
 BIG = 3.0e38
 
 
+def _cbrt(xp, x):
+    """Signed cube root. Mosaic has no cbrt primitive, so the jnp path uses
+    exp(log|x|/3) (relative error ~1 ulp; the quartic Newton polish absorbs
+    it)."""
+    if xp is np:
+        return np.cbrt(x)
+    ax = xp.abs(x)
+    r = xp.exp(xp.log(xp.maximum(ax, 1e-38)) / 3.0)
+    return xp.where(ax < 1e-38, 0.0, xp.sign(x) * r)
+
+
+def _acos_approx(xp, x):
+    """Abramowitz & Stegun 4.4.45 polynomial acos (|err| <= 6.7e-5 rad),
+    extended to [-1, 0) via acos(-x) = pi - acos(x). Mosaic has no acos
+    primitive; the cubic Newton polish downstream absorbs the residual."""
+    ax = xp.minimum(xp.abs(x), 1.0)
+    r = xp.sqrt(xp.maximum(1.0 - ax, 0.0)) * (
+        1.5707288 + ax * (-0.2121144 + ax * (0.0742610 + ax * (-0.0187293))))
+    return xp.where(x < 0, np.pi - r, r)
+
+
+def _largest_cubic_root_kernel(xp, A, B, C, polish_iters: int = 3):
+    """Largest real root of m^3 + A m^2 + B m + C, Mosaic-compatible.
+
+    Same trigonometric/Cardano split as `_largest_cubic_root`, but acos and
+    cbrt are built from supported primitives (polynomial approx, exp/log),
+    followed by guarded Newton polish on the cubic. Accurate across scales —
+    a pure scaled-Newton variant mis-converged when the resolvent root was
+    orders of magnitude below the Lagrange bound.
+    """
+    P = B - A * A / 3.0
+    Q = 2.0 * A * A * A / 27.0 - A * B / 3.0 + C
+    half_q = Q / 2.0
+    third_p = P / 3.0
+    D = half_q * half_q + third_p * third_p * third_p
+
+    sqrtD = xp.sqrt(xp.maximum(D, 0.0))
+    w_single = _cbrt(xp, -half_q + sqrtD) + _cbrt(xp, -half_q - sqrtD)
+
+    s = xp.sqrt(xp.maximum(-third_p, 1e-30))
+    cos_phi = xp.clip(-half_q / xp.maximum(s * s * s, 1e-30), -1.0, 1.0)
+    w_triple = 2.0 * s * xp.cos(_acos_approx(xp, cos_phi) / 3.0)
+
+    m = xp.where(D > 0.0, w_single, w_triple) - A / 3.0
+
+    def newton(m):
+        f = ((m + A) * m + B) * m + C
+        df = (3.0 * m + 2.0 * A) * m + B
+        return m - f / xp.where(xp.abs(df) > 1e-30, df, 1e-30)
+
+    if xp is np:
+        for _ in range(polish_iters):
+            m = newton(m)
+    else:
+        import jax  # noqa: PLC0415
+
+        m = jax.lax.fori_loop(0, polish_iters, lambda _, m: newton(m), m)
+    return m
+
+
 def _largest_cubic_root(xp, A, B, C):
     """Largest real root of m^3 + A m^2 + B m + C = 0 (vectorized).
 
@@ -39,7 +99,7 @@ def _largest_cubic_root(xp, A, B, C):
 
     # D > 0: single real root (Cardano)
     sqrtD = xp.sqrt(xp.maximum(D, 0.0))
-    w_single = xp.cbrt(-half_q + sqrtD) + xp.cbrt(-half_q - sqrtD)
+    w_single = _cbrt(xp, -half_q + sqrtD) + _cbrt(xp, -half_q - sqrtD)
 
     # D <= 0: three real roots; largest = 2 sqrt(-P/3) cos(phi/3)
     s = xp.sqrt(xp.maximum(-third_p, 1e-30))
@@ -156,6 +216,98 @@ def torus_coefficients(xp, o, d, R, r):
     return c3 * inv, c2 * inv, c1 * inv, c0 * inv, tshift
 
 
+def quartic_min_positive(xp, b3, b2, b1, b0, lo, hi, newton_iters: int = 3,
+                         extra_valid=None, cubic: str = "trig"):
+    """Smallest real root of the monic quartic inside [lo, hi].
+
+    Same Ferrari + Newton math as `quartic_roots`, but the four candidates
+    are tracked as separate arrays (no stacked trailing axis) so the whole
+    computation stays 2D — required for the Pallas TPU kernel. Returns BIG
+    where no valid root exists. `extra_valid` optionally masks lanes
+    (e.g. padding tori with r < 0). cubic="newton" selects the
+    transcendental-free resolvent solver (required inside Mosaic kernels).
+    """
+    shift = b3 / 4.0
+    p = b2 - 3.0 / 8.0 * b3 * b3
+    q = b1 - b3 * b2 / 2.0 + b3 * b3 * b3 / 8.0
+    r0 = (b0 - b3 * b1 / 4.0 + b3 * b3 * b2 / 16.0
+          - 3.0 / 256.0 * b3 * b3 * b3 * b3)
+
+    cubic_root = (_largest_cubic_root_kernel if cubic == "newton"
+                  else _largest_cubic_root)
+    m = cubic_root(xp, p, p * p / 4.0 - r0, -q * q / 8.0)
+    m = xp.maximum(m, 0.0)
+    two_m = 2.0 * m
+    sq2m = xp.sqrt(xp.maximum(two_m, 0.0))
+    biquad = sq2m < 1e-10
+    q_term = q / xp.maximum(2.0 * sq2m, 1e-30)
+
+    B_a, C_a = -sq2m, p / 2.0 + m + q_term
+    B_b, C_b = sq2m, p / 2.0 + m - q_term
+
+    disc_bi = p * p / 4.0 - r0
+    sq_bi = xp.sqrt(xp.maximum(disc_bi, 0.0))
+    z_a, z_b = -p / 2.0 + sq_bi, -p / 2.0 - sq_bi
+    bi_ok_a = biquad & (disc_bi >= 0.0) & (z_a >= 0.0)
+    bi_ok_b = biquad & (disc_bi >= 0.0) & (z_b >= 0.0)
+    sz_a = xp.sqrt(xp.maximum(z_a, 0.0))
+    sz_b = xp.sqrt(xp.maximum(z_b, 0.0))
+
+    def quad_roots(B, C):
+        disc = B * B - 4.0 * C
+        ok = disc >= 0.0
+        sq = xp.sqrt(xp.maximum(disc, 0.0))
+        return (-B + sq) / 2.0, (-B - sq) / 2.0, ok
+
+    ra1, ra2, ok_a = quad_roots(B_a, C_a)
+    rb1, rb2, ok_b = quad_roots(B_b, C_b)
+
+    # bool-valued where() lowers to an unsupported i8->i1 truncation in
+    # Mosaic; use pure logical ops for the validity masks instead
+    ok_first = (biquad & bi_ok_a) | (~biquad & ok_a)
+    ok_second = (biquad & bi_ok_b) | (~biquad & ok_b)
+    cands = (
+        (xp.where(biquad, sz_a, ra1), ok_first),
+        (xp.where(biquad, -sz_a, ra2), ok_first),
+        (xp.where(biquad, sz_b, rb1), ok_second),
+        (xp.where(biquad, -sz_b, rb2), ok_second),
+    )
+
+    def polish(t, ok):
+        def newton(t):
+            f = (((t + b3) * t + b2) * t + b1) * t + b0
+            df = ((4.0 * t + 3.0 * b3) * t + 2.0 * b2) * t + b1
+            step = f / xp.where(xp.abs(df) > 1e-20, df, 1e-20)
+            return xp.where(ok, t - step, t)
+
+        if xp is np:
+            for _ in range(newton_iters):
+                t = newton(t)
+        else:
+            import jax  # noqa: PLC0415
+
+            t = jax.lax.fori_loop(0, newton_iters, lambda _, t: newton(t), t)
+        return t
+
+    best = None
+    for y, ok in cands:
+        t = polish(y - shift, ok)
+        good = ok & (t >= lo) & (t <= hi)
+        # residual check: discriminant misclassification (coarse exp/log/
+        # acos primitives in Mosaic) can promote a complex pair to a "real"
+        # candidate; a true root after polish has |f| ~ eps * scale
+        at = xp.abs(t)
+        f = (((t + b3) * t + b2) * t + b1) * t + b0
+        scale = (((at + xp.abs(b3)) * at + xp.abs(b2)) * at
+                 + xp.abs(b1)) * at + xp.abs(b0)
+        good = good & (xp.abs(f) <= 1e-3 * scale + 1e-30)
+        if extra_valid is not None:
+            good = good & extra_valid
+        t = xp.where(good, t, BIG)
+        best = t if best is None else xp.minimum(best, t)
+    return best
+
+
 def torus_intersect(xp, o, d, R, r, tmin, tmax, newton_iters: int = 3):
     """Nearest torus hit along each ray.
 
@@ -163,17 +315,15 @@ def torus_intersect(xp, o, d, R, r, tmin, tmax, newton_iters: int = 3):
     o/d (..., 3) and R/r (...).
     """
     b3, b2, b1, b0, tshift = torus_coefficients(xp, o, d, R, r)
-    roots, valid = quartic_roots(xp, b3, b2, b1, b0, newton_iters)
-    t = roots + tshift[..., None]
     tmax_e = xp.asarray(tmax)
-    if getattr(tmax_e, "ndim", 0):
-        tmax_e = tmax_e[..., None]
-    ok = valid & (t >= tmin) & (t <= tmax_e)
+    lo = tmin - tshift
+    hi = tmax_e - tshift
     # invalid / padding tori carry r < 0 and never hit (scene/build.py)
-    ok = ok & (xp.asarray(r)[..., None] > 0.0)
-    t = xp.where(ok, t, BIG)
-    tbest = xp.min(t, axis=-1)
-    return tbest, tbest < tmax
+    valid = xp.broadcast_to(xp.asarray(r) > 0.0, b3.shape)
+    t = quartic_min_positive(xp, b3, b2, b1, b0, lo, hi, newton_iters,
+                             extra_valid=valid)
+    t = xp.where(t < BIG, t + tshift, t)
+    return t, t < tmax_e
 
 
 def torus_normal(xp, p, R):

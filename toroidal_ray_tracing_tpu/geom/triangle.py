@@ -58,26 +58,22 @@ def moller_trumbore(xp, origins, dirs, v0, e1, e2, tmin, tmax, eps=1e-8):
 def intersect_woop(xp, origins, dirs, woop_o, woop_d, tmin, tmax):
     """Woop unit-triangle test via matmuls.
 
-    origins/dirs: (N, 3); woop_o: (4, 3, T); woop_d: (3, 3, T) — input dim x
-    output component x triangle (reshaped to (dim, 3T) matmul operands here).
+    origins/dirs: (N, 3); woop_o: (3, 4, T); woop_d: (3, 3, T) — output
+    component x input dim x triangle (each component is one thin matmul).
 
     Returns (t, u, v, hit) each (N, T).
     """
     N = origins.shape[0]
     T = woop_o.shape[2]
-    woop_o = woop_o.reshape(4, 3 * T)
-    woop_d = woop_d.reshape(3, 3 * T)
     oh = xp.concatenate([origins, xp.ones((N, 1), dtype=origins.dtype)], axis=1)
     if xp is np:
-        mm = lambda a, b: a @ b  # noqa: E731
+        op = np.einsum("na,kat->nkt", oh, woop_o)
+        dp = np.einsum("na,kat->nkt", dirs, woop_d)
     else:
         # TPU MXU defaults to bf16 passes for f32 matmuls — ray/triangle
         # coordinates need full fp32 (HIGHEST = 6-pass bf16 emulation)
-        import jax  # noqa: PLC0415
-
-        mm = lambda a, b: xp.dot(a, b, precision=jax.lax.Precision.HIGHEST)  # noqa: E731
-    op = mm(oh, woop_o).reshape(N, 3, T)   # o' per (ray, tri)
-    dp = mm(dirs, woop_d).reshape(N, 3, T)  # d'
+        op = xp.einsum("na,kat->nkt", oh, woop_o, precision="highest")
+        dp = xp.einsum("na,kat->nkt", dirs, woop_d, precision="highest")
 
     dz = dp[:, 2, :]
     dz_ok = xp.abs(dz) > F32(1e-12)

@@ -49,7 +49,9 @@ def _closest_hit(scene: Scene, origins: np.ndarray, dirs: np.ndarray,
     best_v = np.zeros(n, F32)
 
     tris = scene.triangles
-    nt = int(np.count_nonzero(tris.valid))
+    # iterate ALL rows: with SAH clustering, padding rows are interleaved
+    # (not a prefix); they are degenerate (e1=e2=0) and never hit
+    nt = int(tris.v0.shape[0])
     for s in range(0, nt, _TRI_CHUNK):
         e = min(s + _TRI_CHUNK, nt)
         t, u, v, hit = moller_trumbore(

@@ -175,47 +175,80 @@ def build_scene(
 
     n_real = v0.shape[0]
 
-    # --- Morton sort + cluster --------------------------------------------
-    if n_real > 0:
-        centroid = v0 + (e1 + e2) / F32(3.0)
-        lo = centroid.min(axis=0)
-        span = np.maximum(centroid.max(axis=0) - lo, F32(1e-6))
-        order = np.argsort(_morton3((centroid - lo) / span), kind="stable")
-        v0, e1, e2 = v0[order], e1[order], e2[order]
-        n0, n1, n2 = n0[order], n1[order], n2[order]
-        uv0, uv1, uv2 = uv0[order], uv1[order], uv2[order]
-        mat_id, inst_ids = mat_id[order], inst_ids[order]
+    # --- cluster assignment: native binned-SAH leaves when available, else
+    # Morton sort + fixed chunking. `slots` maps padded cluster positions to
+    # original triangle rows (-1 = padding). ----------------------------------
+    slots = None
+    if n_real > 0 and use_native:
+        try:
+            from toroidal_ray_tracing_tpu.io import native  # noqa: PLC0415
 
-    T = max(_round_up(max(n_real, 1), cluster_size), cluster_size)
-    valid = np.zeros((T,), bool)
-    valid[:n_real] = True
-    # padding triangles: degenerate at a far sentinel so they never hit
+            if native.available():
+                tri_lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+                tri_hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+                order, starts, counts = native.build_sah_clusters(
+                    tri_lo, tri_hi, cluster_size)
+                n_leaves = len(starts)
+                slots = np.full(n_leaves * cluster_size, -1, np.int64)
+                for li in range(n_leaves):
+                    s, cnt = int(starts[li]), int(counts[li])
+                    slots[li * cluster_size: li * cluster_size + cnt] = \
+                        order[s: s + cnt]
+        except Exception:
+            slots = None
+
+    if slots is None:
+        if n_real > 0:
+            centroid = v0 + (e1 + e2) / F32(3.0)
+            lo = centroid.min(axis=0)
+            span = np.maximum(centroid.max(axis=0) - lo, F32(1e-6))
+            order = np.argsort(_morton3((centroid - lo) / span), kind="stable")
+        else:
+            order = np.zeros((0,), np.int64)
+        T0 = max(_round_up(max(n_real, 1), cluster_size), cluster_size)
+        slots = np.full(T0, -1, np.int64)
+        slots[:n_real] = order
+
+    T = len(slots)
+    valid = slots >= 0
     FAR = F32(1e30)
-    v0 = _pad_rows(v0, T, 0.0)
-    v0[n_real:] = FAR
-    e1 = _pad_rows(e1, T, 0.0)
-    e2 = _pad_rows(e2, T, 0.0)
-    n0 = _pad_rows(n0, T, 0.0)
-    n1 = _pad_rows(n1, T, 0.0)
-    n2 = _pad_rows(n2, T, 0.0)
-    uv0 = _pad_rows(uv0, T, 0.0)
-    uv1 = _pad_rows(uv1, T, 0.0)
-    uv2 = _pad_rows(uv2, T, 0.0)
-    mat_id = _pad_rows(mat_id, T, 0)
-    inst_ids = _pad_rows(inst_ids, T, -1)
+
+    def take(a, fill=0.0, far_fill=False):
+        out = np.full((T,) + a.shape[1:],
+                      FAR if far_fill else fill, dtype=a.dtype)
+        out[valid] = a[np.maximum(slots[valid], 0)]
+        return out
+
+    v0 = take(v0, far_fill=True)   # padding at a far sentinel: never hit
+    e1 = take(e1)
+    e2 = take(e2)
+    n0 = take(n0)
+    n1 = take(n1)
+    n2 = take(n2)
+    uv0 = take(uv0)
+    uv1 = take(uv1)
+    uv2 = take(uv2)
+    mat_id = take(mat_id)
+    inst_ids = take(inst_ids, fill=-1)
 
     W, c, degenerate = _woop_matrices(v0, e1, e2)
     valid &= ~degenerate
-    # layout (4, 3, T): input-dim x output-component x triangle, so the
-    # triangle axis is last (shardable over a "prims" mesh axis) and a
-    # reshape to (4, 3T) yields the matmul operand
-    woop_o = np.concatenate([W, c[:, :, None]], axis=2).transpose(2, 1, 0).astype(F32)
-    woop_d = W.transpose(2, 1, 0).astype(F32)
+    # layout (3, 4, T): output-component x input-dim x triangle. The
+    # triangle axis is last (shardable over a "prims" mesh axis) and each
+    # component k yields a clean 2D (4, T) matmul operand for the Pallas
+    # kernel: o'_k = [o, 1] @ woop_o[k]
+    A = np.concatenate([W, c[:, :, None]], axis=2)  # (T, 3, 4)
+    woop_o = A.transpose(1, 2, 0).astype(F32)
+    woop_d = W.transpose(1, 2, 0).astype(F32)
 
-    # cluster AABBs over the sorted array
+    # cluster AABBs over the clustered array, ignoring padding rows (with
+    # SAH leaves, most clusters carry some padding — their FAR sentinels
+    # must not inflate the bounds or culling dies)
     C = T // cluster_size
     tri_lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
     tri_hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    tri_lo[~valid] = FAR       # padded slots form an empty (inverted) box
+    tri_hi[~valid] = -FAR
     cluster_lo = tri_lo.reshape(C, cluster_size, 3).min(axis=1)
     cluster_hi = tri_hi.reshape(C, cluster_size, 3).max(axis=1)
 
@@ -227,6 +260,15 @@ def build_scene(
     )
 
     # --- tori --------------------------------------------------------------
+    # Morton-sort by world center so the Pallas kernel's torus-tile culling
+    # sees spatially coherent tiles
+    if len(tori_rows) > 1:
+        centers = np.stack([x[3][:3, 3] for x in tori_rows]).astype(F32)
+        lo_c = centers.min(axis=0)
+        span_c = np.maximum(centers.max(axis=0) - lo_c, F32(1e-6))
+        order_t = np.argsort(_morton3((centers - lo_c) / span_c), kind="stable")
+        tori_rows = [tori_rows[i] for i in order_t]
+
     K = max(len(tori_rows), 1)
     w2o = np.tile(np.eye(4, dtype=F32)[:3], (K, 1, 1))
     o2w = np.tile(np.eye(4, dtype=F32)[:3], (K, 1, 1))

@@ -229,8 +229,8 @@ class TriangleSoup(NamedTuple):
     mat_id: Any      # (T,) i32 into the global material table
     instance_id: Any # (T,) i32 (instanceCustomIndex analog)
     valid: Any       # (T,) bool — False for padding rows
-    woop_o: Any      # (4, 3, T) f32
-    woop_d: Any      # (3, 3, T) f32
+    woop_o: Any      # (3, 4, T) f32: component k <- [o,1] @ woop_o[k]
+    woop_d: Any      # (3, 3, T) f32: component k <- d @ woop_d[k]
 
     @property
     def count(self) -> int:
