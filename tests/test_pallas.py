@@ -1,0 +1,91 @@
+"""Pallas fast-path tests (interpret mode on the CPU backend — the same
+kernel code compiles with Mosaic on a real TPU; the TPU-specific lowering
+constraints are exercised by the driver's bench runs)."""
+
+import numpy as np
+import pytest
+
+from toroidal_ray_tracing_tpu.cameras import PinholeCamera
+from toroidal_ray_tracing_tpu.geom import torus as torus_geom
+from toroidal_ray_tracing_tpu.render import render
+from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene, procedural
+
+RES = 24
+
+
+def rmse(a, b):
+    return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
+
+
+@pytest.mark.parametrize("name,sd,depth", [
+    ("multi_torus", lambda: procedural.scene_multi_torus(True), 2),
+    ("cornellish", lambda: procedural.scene_cornellish, 2),
+    ("torus_plane", lambda: procedural.scene_torus_plane(True), 1),
+    ("instanced", lambda: procedural.scene_instanced_torus_grid(n=32), 2),
+])
+def test_pallas_matches_jnp(name, sd, depth):
+    sdef = sd() if name != "cornellish" else procedural.scene_cornellish()
+    scene = build_scene(sdef)
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=depth)
+    ref = render(scene, cam, RES, RES, st)["image"]
+    pal = render(scene, cam, RES, RES, st, backend="pallas")["image"]
+    assert rmse(ref, pal) < 1e-5, f"{name}: {rmse(ref, pal)}"
+
+
+def test_kernel_cubic_matches_trig():
+    """The Mosaic-compatible resolvent solver (poly acos + Newton) tracks the
+    exact trig solver across scales."""
+    rng = np.random.default_rng(3)
+    o = rng.normal(size=(20000, 3)) * 4.0
+    target = rng.normal(size=(20000, 3))
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o32, d32 = o.astype(np.float32), d.astype(np.float32)
+    b3, b2, b1, b0, ts = torus_geom.torus_coefficients(
+        np, o32, d32, np.float32(2.0), np.float32(0.6))
+    lo, hi = np.float32(1e-3) - ts, np.float32(1e4) - ts
+    t_trig = torus_geom.quartic_min_positive(np, b3, b2, b1, b0, lo, hi,
+                                             cubic="trig")
+    t_kern = torus_geom.quartic_min_positive(np, b3, b2, b1, b0, lo, hi,
+                                             cubic="newton")
+    h1, h2 = t_trig < 1e30, t_kern < 1e30
+    assert (h1 == h2).mean() > 0.9995
+    both = h1 & h2
+    err = np.abs(t_trig - t_kern)[both]
+    assert np.percentile(err, 99.9) < 1e-4
+
+
+def test_kernel_quartic_vs_f64():
+    """quartic_min_positive in f32 vs the f64 ground truth."""
+    rng = np.random.default_rng(7)
+    o = rng.normal(size=(20000, 3)) * 4.0
+    target = rng.normal(size=(20000, 3))
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t64, h64 = torus_geom.torus_intersect(np, o, d, 2.0, 0.6, 1e-3, 1e4)
+    b3, b2, b1, b0, ts = torus_geom.torus_coefficients(
+        np, o.astype(np.float32), d.astype(np.float32),
+        np.float32(2.0), np.float32(0.6))
+    t32 = torus_geom.quartic_min_positive(
+        np, b3, b2, b1, b0, np.float32(1e-3) - ts, np.float32(1e4) - ts,
+        cubic="newton") + ts
+    h32 = t32 < 1e29
+    assert (h64 == h32).mean() > 0.9995
+    both = h64 & h32
+    assert np.percentile(np.abs(t64 - t32)[both], 99.9) < 1e-4
+
+
+def test_sah_vs_morton_clustering():
+    """Scene builds with SAH (native) and Morton clustering render the same
+    image."""
+    from toroidal_ray_tracing_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    sd = procedural.scene_cornellish()
+    cam = PinholeCamera(eye=(6.0, 4.0, 6.0))
+    st = RenderSettings.default(max_depth=2)
+    a = render(build_scene(sd, use_native=True), cam, RES, RES, st)["image"]
+    b = render(build_scene(sd, use_native=False), cam, RES, RES, st)["image"]
+    assert rmse(a, b) < 1e-6

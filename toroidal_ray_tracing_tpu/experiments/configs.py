@@ -39,6 +39,7 @@ class Scenario:
     spp: int = 1
     camera: Optional[PinholeCamera] = None
     animate_frames: int = 0  # >0: fly-through
+    tile_rows: Optional[int] = None  # band rendering for very large frames
 
     def build(self):
         return build_scene(self.scene())
@@ -78,7 +79,7 @@ SCENARIOS = {
                                      center=(0.0, 0.0, 0.0))),
     5: Scenario("config5_4k_flythrough",
                 lambda: procedural.scene_multi_torus(analytic=True),
-                3840, 2160, 3, spp=2, animate_frames=8),
+                3840, 2160, 3, spp=2, animate_frames=8, tile_rows=270),
 }
 
 
@@ -89,34 +90,42 @@ def run_scenario(num: int, backend: str = "jnp", out_dir: str | None = None,
     st = sc.settings()
     n_frames = frames if frames is not None else max(sc.animate_frames, 1)
 
-    results = []
-    total_rays = 0.0
+    last = None
+    ray_counts = []
+    rays_frame0 = None
     t_start = None
     for f in range(n_frames):
         cam = sc.camera_at(f)
         out = render(scene, cam, sc.width, sc.height, st, backend=backend,
-                     spp=sc.spp, seed=f)
-        out["image"].block_until_ready()
+                     spp=sc.spp, seed=f, tile_rows=sc.tile_rows)
         if f == 0:
+            out["image"].block_until_ready()
+            rays_frame0 = float(out["rays_traced"])
             t_start = time.perf_counter()  # exclude compile
         else:
-            total_rays += float(out["rays_traced"])
-        results.append(out)
-    elapsed = (time.perf_counter() - t_start) if n_frames > 1 else None
+            ray_counts.append(out["rays_traced"])  # no per-frame sync
+        last = out  # keep only the latest frame alive (4K frames are large)
+    if n_frames > 1:
+        last["image"].block_until_ready()
+        elapsed = time.perf_counter() - t_start
+        total_rays = float(sum(float(r) for r in ray_counts))
+    else:
+        elapsed = None
+        total_rays = 0.0
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         from PIL import Image
 
-        img = np.asarray(tonemap(results[-1]["image"]))
+        img = np.asarray(tonemap(last["image"]))
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(out_dir, f"{sc.name}.png"))
 
     stats = {"scenario": sc.name, "frames": n_frames,
-             "rays_per_frame": float(results[0]["rays_traced"])}
+             "rays_per_frame": rays_frame0}
     if elapsed and total_rays:
         stats["mrays_per_s"] = total_rays / elapsed / 1e6
-    return results[-1], stats
+    return last, stats
 
 
 def main(argv=None):

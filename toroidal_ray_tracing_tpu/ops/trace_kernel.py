@@ -99,7 +99,7 @@ def _tri_kernel(o_ref, d_ref, tmax_ref, woop_o_ref, woop_d_ref,
         tn = jnp.max(jnp.minimum(t0, t1)[:, :3], axis=1, keepdims=True)
         tf = jnp.min(jnp.maximum(t0, t1)[:, :3], axis=1, keepdims=True)
         box_hit = (tn <= jnp.minimum(tf, jnp.minimum(t_best, tmax))) \
-            & (tf >= TMIN)        # (R, 1)
+            & (tf >= TMIN) & (tmax > TMIN)        # (R, 1)
 
         @pl.when(jnp.any(box_hit))
         def _():

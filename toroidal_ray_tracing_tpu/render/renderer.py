@@ -37,6 +37,52 @@ def tonemap(image):
     return jnp.power(jnp.clip(image, 0.0, None), F32(1.0 / 2.2))
 
 
+def _render_banded(scene, camera, width, height, settings, backend, spp,
+                   seed, out_sharding, tile_rows):
+    """Row-band rendering: bounds the live ray-state footprint in HBM.
+
+    Everything stays on device — bands of equal height share one compiled
+    executable, outputs accumulate per band and concatenate at the end (no
+    per-band host round trips)."""
+    n = width * height
+    key = jax.random.PRNGKey(seed)
+    bands = [(y0, min(tile_rows, height - y0))
+             for y0 in range(0, height, tile_rows)]
+
+    band_color = [None] * len(bands)
+    band_hit = [None] * len(bands)
+    nrays = jnp.asarray(0.0, F32)
+    orig0 = dir0 = None
+    for s in range(max(spp, 1)):
+        if s == 0:
+            jitter = None
+        else:
+            key, sub = jax.random.split(key)
+            jitter = jax.random.uniform(sub, (n, 2), F32)
+        o_full, d_full = generate_rays(camera, width, height, settings,
+                                       jitter=jitter)
+        if s == 0:
+            orig0, dir0 = o_full, d_full
+        for bi, (y0, rows) in enumerate(bands):
+            sl = slice(y0 * width, (y0 + rows) * width)
+            c, hp, nr = _trace_jit(scene, settings, o_full[sl], d_full[sl],
+                                   backend)
+            band_color[bi] = c if band_color[bi] is None else band_color[bi] + c
+            nrays = nrays + nr
+            if s == 0:
+                band_hit[bi] = hp
+    color = jnp.concatenate(band_color) / F32(max(spp, 1))
+    hitpos = jnp.concatenate(band_hit)
+    shape = (height, width, 3)
+    return {
+        "image": color.reshape(shape),
+        "hit_position": hitpos.reshape(shape),
+        "ray_origin": orig0.reshape(shape),
+        "ray_dir": dir0.reshape(shape),
+        "rays_traced": nrays,
+    }
+
+
 def render(
     scene: Scene,
     camera,
@@ -47,6 +93,7 @@ def render(
     spp: int = 1,
     seed: int = 0,
     out_sharding=None,
+    tile_rows: int | None = None,
 ):
     """Render one frame.
 
@@ -56,11 +103,18 @@ def render(
     out_sharding: optional NamedSharding for the flat ray batch; when given,
          rays are placed sharded and the whole trace runs SPMD over the mesh
          (pure data parallelism — the scene is replicated, cf. SURVEY.md §2C).
+    tile_rows: render the image in horizontal bands of this many rows
+         (bounds device memory for very large frames, e.g. 4K; the per-band
+         jit is reused when height % tile_rows == 0).
 
     Returns a dict: image, hit_position, ray_origin, ray_dir — each (H, W, 3).
     """
     if settings is None:
         settings = RenderSettings.default()
+
+    if tile_rows is not None and tile_rows < height:
+        return _render_banded(scene, camera, width, height, settings,
+                              backend, spp, seed, out_sharding, tile_rows)
 
     origins, dirs = generate_rays(camera, width, height, settings)
     if out_sharding is not None:

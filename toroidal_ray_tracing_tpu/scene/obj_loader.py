@@ -111,11 +111,75 @@ def load_texture(path: str) -> Optional[np.ndarray]:
         return None
 
 
-def load_obj(path: str) -> TriangleMesh:
+def load_obj(path: str, use_native: bool = True) -> TriangleMesh:
     """Load an OBJ file into a TriangleMesh (one BLAS worth of geometry).
 
     Polygons are fan-triangulated. Negative OBJ indices are supported.
+    Geometry parsing uses the native C++ parser (csrc/obj_loader.cpp) when
+    available; MTL materials are always parsed here.
     """
+    if use_native:
+        try:
+            from toroidal_ray_tracing_tpu.io import native  # noqa: PLC0415
+
+            data = native.obj_parse(path) if native.available() else None
+        except Exception:
+            data = None
+        if data is not None:
+            return _assemble_native(path, data)
+    return _load_obj_python(path)
+
+
+def _assemble_native(path: str, data: dict) -> TriangleMesh:
+    base_dir = os.path.dirname(os.path.abspath(path))
+    materials: list = []
+    textures: list = []
+    mat_lookup: dict = {}
+    if data["mtllib"]:
+        mtl_path = os.path.join(base_dir, data["mtllib"])
+        if os.path.exists(mtl_path):
+            for name, mat in parse_mtl(mtl_path, textures, base_dir).items():
+                mat_lookup[name] = len(materials)
+                materials.append(mat)
+    # map usemtl first-use slots -> parsed material rows
+    slot_map = [mat_lookup.get(name, -1) for name in data["mtl_names"]]
+    if not materials:
+        materials.append(_default_material())
+    mat_index = np.asarray(
+        [slot_map[m] if 0 <= m < len(slot_map) else -1
+         for m in data["mat_index"]], dtype=I32)
+    mat_index = np.where(mat_index >= 0, mat_index, 0).astype(I32)
+
+    for mat in materials:
+        for k in ("ambient", "diffuse", "specular"):
+            mat[k] = _srgb_to_linear(mat[k])
+
+    pos = data["positions"]
+    idx = data["indices"]
+    nrm = data["normals"].copy()
+    have = data["has_normal"]
+    if not have.all() and len(idx):
+        fn = np.cross(pos[idx[:, 1]] - pos[idx[:, 0]],
+                      pos[idx[:, 2]] - pos[idx[:, 0]])
+        for c in range(3):
+            np.add.at(nrm, idx[:, c], np.where(have[idx[:, c], None], 0.0, fn))
+    ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = (nrm / np.maximum(ln, 1e-30)).astype(F32)
+
+    return TriangleMesh(
+        positions=pos,
+        normals=nrm,
+        colors=np.ones_like(pos),
+        uvs=data["uvs"],
+        indices=idx,
+        mat_index=mat_index,
+        materials=materials,
+        textures=textures,
+    )
+
+
+def _load_obj_python(path: str) -> TriangleMesh:
+    """Pure-Python fallback parser."""
     positions: list = []
     normals: list = []
     uvs: list = []

@@ -73,8 +73,11 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
                                    | (state.depth == 0))
 
     def body(state: RayState) -> RayState:
-        hit = closest_hit(scene, state.origin, state.dir, backend=backend,
-                          geom=geom, prim_axis=prim_axis)
+        # dead rays trace with tmax = 0: the kernels' tile culls then skip
+        # them entirely (the live-ray compaction analog for dense batches)
+        seg_tmax = jnp.where(state.active, F32(10000.0), F32(0.0))
+        hit = closest_hit(scene, state.origin, state.dir, tmax=seg_tmax,
+                          backend=backend, geom=geom, prim_axis=prim_axis)
         sh = shade(scene, settings, state.origin, state.dir, hit,
                    backend=backend, geom=geom, prim_axis=prim_axis)
 
