@@ -71,3 +71,18 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@needs_8
+@pytest.mark.parametrize("shape", [(4, 2), (1, 8)])
+def test_pallas_backend_sharded(setup, shape):
+    """Fused-kernel path composes with primitive sharding (interpret mode)."""
+    sd = procedural.scene_multi_torus(analytic=True)
+    scene = build_scene(sd)
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    ref = np.asarray(render(scene, cam, RES, RES, st)["image"])
+    out = render_sharded(scene, cam, RES, RES, st, mesh=make_mesh(*shape),
+                         backend="pallas")
+    rmse = float(np.sqrt(np.mean((np.asarray(out["image"]) - ref) ** 2)))
+    assert rmse < 1e-6

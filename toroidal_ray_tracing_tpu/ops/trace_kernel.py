@@ -377,13 +377,15 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax):
     if has_tris:
         T_local = geom.woop_o.shape[2]
         cs = scene.cluster_size
-        if T_local == scene.triangles.count:
+        if T_local % cs != 0:
+            cs = T_local  # sharded slice smaller than a cluster: one block
+        if T_local == scene.triangles.count and cs == scene.cluster_size:
             clo, chi = scene.cluster_lo, scene.cluster_hi
         else:
             # sharded slice: per-slice cluster bounds are not threaded
             # through GeomSlice yet — fall back to no culling in-shard
-            clo = jnp.full((T_local // cs, 3), -3e38, F32)
-            chi = jnp.full((T_local // cs, 3), 3e38, F32)
+            clo = jnp.full((max(T_local // cs, 1), 3), -3e38, F32)
+            chi = jnp.full((max(T_local // cs, 1), 3), 3e38, F32)
         tt, ti, tu, tv = tri_closest_hit_pallas(
             origins, dirs, tmax, geom.woop_o, geom.woop_d, clo, chi, cs)
         better = tt < t_best
