@@ -39,8 +39,8 @@ def _acos_approx(xp, x):
     """Abramowitz & Stegun 4.4.45 polynomial acos (|err| <= 6.7e-5 rad),
     extended to [-1, 0) via acos(-x) = pi - acos(x). Mosaic has no acos
     primitive; the cubic Newton polish downstream absorbs the residual."""
-    ax = xp.minimum(xp.abs(x), 1.0)
-    r = xp.sqrt(xp.maximum(1.0 - ax, 0.0)) * (
+    ax = xp.minimum(xp.abs(x), 1.0 - 1e-7)  # keep the sqrt grad finite
+    r = xp.sqrt(xp.maximum(1.0 - ax, 1e-12)) * (
         1.5707288 + ax * (-0.2121144 + ax * (0.0742610 + ax * (-0.0187293))))
     return xp.where(x < 0, np.pi - r, r)
 
@@ -60,11 +60,15 @@ def _largest_cubic_root_kernel(xp, A, B, C, polish_iters: int = 3):
     third_p = P / 3.0
     D = half_q * half_q + third_p * third_p * third_p
 
-    sqrtD = xp.sqrt(xp.maximum(D, 0.0))
+    sqrtD = xp.sqrt(xp.maximum(D, 1e-30))
     w_single = _cbrt(xp, -half_q + sqrtD) + _cbrt(xp, -half_q - sqrtD)
 
-    s = xp.sqrt(xp.maximum(-third_p, 1e-30))
-    cos_phi = xp.clip(-half_q / xp.maximum(s * s * s, 1e-30), -1.0, 1.0)
+    three_real = D <= 0.0
+    hq_safe = xp.where(three_real, half_q, 0.0)
+    tp_safe = xp.where(three_real, third_p, -1.0)
+    s = xp.sqrt(xp.maximum(-tp_safe, 1e-30))
+    cos_phi = xp.clip(-hq_safe / xp.maximum(s * s * s, 1e-30),
+                      -1.0 + 1e-6, 1.0 - 1e-6)
     w_triple = 2.0 * s * xp.cos(_acos_approx(xp, cos_phi) / 3.0)
 
     m = xp.where(D > 0.0, w_single, w_triple) - A / 3.0
@@ -98,12 +102,21 @@ def _largest_cubic_root(xp, A, B, C):
     D = half_q * half_q + third_p * third_p * third_p
 
     # D > 0: single real root (Cardano)
-    sqrtD = xp.sqrt(xp.maximum(D, 0.0))
+    sqrtD = xp.sqrt(xp.maximum(D, 1e-30))
     w_single = _cbrt(xp, -half_q + sqrtD) + _cbrt(xp, -half_q - sqrtD)
 
-    # D <= 0: three real roots; largest = 2 sqrt(-P/3) cos(phi/3)
-    s = xp.sqrt(xp.maximum(-third_p, 1e-30))
-    cos_phi = xp.clip(-half_q / xp.maximum(s * s * s, 1e-30), -1.0, 1.0)
+    # D <= 0: three real roots; largest = 2 sqrt(-P/3) cos(phi/3).
+    # Grad hygiene: (a) sanitize the dead branch's inputs BEFORE dividing —
+    # an inf forward residual makes the division VJP emit 0 * inf = NaN even
+    # under a zero cotangent; (b) clip strictly inside (-1, 1) because
+    # d acos/dx is infinite at the endpoints. The quartic Newton polish
+    # absorbs the tiny forward perturbations.
+    three_real = D <= 0.0
+    hq_safe = xp.where(three_real, half_q, 0.0)
+    tp_safe = xp.where(three_real, third_p, -1.0)
+    s = xp.sqrt(xp.maximum(-tp_safe, 1e-30))
+    cos_phi = xp.clip(-hq_safe / xp.maximum(s * s * s, 1e-30),
+                      -1.0 + 1e-6, 1.0 - 1e-6)
     w_triple = 2.0 * s * xp.cos(xp.arccos(cos_phi) / 3.0)
 
     w = xp.where(D > 0.0, w_single, w_triple)
@@ -129,7 +142,7 @@ def quartic_roots(xp, b3, b2, b1, b0, newton_iters: int = 3):
     m = xp.maximum(m, 0.0)
 
     two_m = 2.0 * m
-    sq2m = xp.sqrt(xp.maximum(two_m, 0.0))
+    sq2m = xp.sqrt(xp.maximum(two_m, 1e-30))
     biquad = sq2m < 1e-10  # q ~ 0: biquadratic fallback
 
     # Ferrari quadratics: y^2 -/+ sq2m*y + (p/2 + m +/- q/(2 sq2m)) = 0
@@ -139,13 +152,13 @@ def quartic_roots(xp, b3, b2, b1, b0, newton_iters: int = 3):
 
     # biquadratic: y^2 = z, z^2 + p z + r = 0
     disc_bi = p * p / 4.0 - r
-    sq_bi = xp.sqrt(xp.maximum(disc_bi, 0.0))
+    sq_bi = xp.sqrt(xp.maximum(disc_bi, 1e-30))
     z_a, z_b = -p / 2.0 + sq_bi, -p / 2.0 - sq_bi
 
     def quad_roots(B, C):
         disc = B * B - 4.0 * C
         ok = disc >= 0.0
-        sq = xp.sqrt(xp.maximum(disc, 0.0))
+        sq = xp.sqrt(xp.maximum(disc, 1e-30))
         return (-B + sq) / 2.0, (-B - sq) / 2.0, ok
 
     ra1, ra2, ok_a = quad_roots(B_a, C_a)
@@ -154,8 +167,8 @@ def quartic_roots(xp, b3, b2, b1, b0, newton_iters: int = 3):
     # biquadratic roots
     bi_ok_a = biquad & (disc_bi >= 0.0) & (z_a >= 0.0)
     bi_ok_b = biquad & (disc_bi >= 0.0) & (z_b >= 0.0)
-    sz_a = xp.sqrt(xp.maximum(z_a, 0.0))
-    sz_b = xp.sqrt(xp.maximum(z_b, 0.0))
+    sz_a = xp.sqrt(xp.maximum(z_a, 1e-30))
+    sz_b = xp.sqrt(xp.maximum(z_b, 1e-30))
 
     y1 = xp.where(biquad, sz_a, ra1)
     y2 = xp.where(biquad, -sz_a, ra2)
@@ -238,7 +251,7 @@ def quartic_min_positive(xp, b3, b2, b1, b0, lo, hi, newton_iters: int = 3,
     m = cubic_root(xp, p, p * p / 4.0 - r0, -q * q / 8.0)
     m = xp.maximum(m, 0.0)
     two_m = 2.0 * m
-    sq2m = xp.sqrt(xp.maximum(two_m, 0.0))
+    sq2m = xp.sqrt(xp.maximum(two_m, 1e-30))
     biquad = sq2m < 1e-10
     q_term = q / xp.maximum(2.0 * sq2m, 1e-30)
 
@@ -246,17 +259,17 @@ def quartic_min_positive(xp, b3, b2, b1, b0, lo, hi, newton_iters: int = 3,
     B_b, C_b = sq2m, p / 2.0 + m - q_term
 
     disc_bi = p * p / 4.0 - r0
-    sq_bi = xp.sqrt(xp.maximum(disc_bi, 0.0))
+    sq_bi = xp.sqrt(xp.maximum(disc_bi, 1e-30))
     z_a, z_b = -p / 2.0 + sq_bi, -p / 2.0 - sq_bi
     bi_ok_a = biquad & (disc_bi >= 0.0) & (z_a >= 0.0)
     bi_ok_b = biquad & (disc_bi >= 0.0) & (z_b >= 0.0)
-    sz_a = xp.sqrt(xp.maximum(z_a, 0.0))
-    sz_b = xp.sqrt(xp.maximum(z_b, 0.0))
+    sz_a = xp.sqrt(xp.maximum(z_a, 1e-30))
+    sz_b = xp.sqrt(xp.maximum(z_b, 1e-30))
 
     def quad_roots(B, C):
         disc = B * B - 4.0 * C
         ok = disc >= 0.0
-        sq = xp.sqrt(xp.maximum(disc, 0.0))
+        sq = xp.sqrt(xp.maximum(disc, 1e-30))
         return (-B + sq) / 2.0, (-B - sq) / 2.0, ok
 
     ra1, ra2, ok_a = quad_roots(B_a, C_a)
@@ -278,6 +291,7 @@ def quartic_min_positive(xp, b3, b2, b1, b0, lo, hi, newton_iters: int = 3,
             f = (((t + b3) * t + b2) * t + b1) * t + b0
             df = ((4.0 * t + 3.0 * b3) * t + 2.0 * b2) * t + b1
             step = f / xp.where(xp.abs(df) > 1e-20, df, 1e-20)
+            step = xp.clip(step, -1e3, 1e3)  # safeguard: keeps grads finite
             return xp.where(ok, t - step, t)
 
         if xp is np:

@@ -81,6 +81,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def to_device(scene: Scene) -> Scene:
+    """Convert all scene leaves to device (jnp) arrays. Needed when a scene
+    is *closed over* by a traced function (e.g. differentiable-rendering
+    losses) rather than passed as a jit argument — numpy leaves cannot be
+    indexed with tracers."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, scene)
+
+
 def build_scene(
     scene_def: SceneDef,
     cluster_size: int = 256,
@@ -213,13 +224,16 @@ def build_scene(
     valid = slots >= 0
     FAR = F32(1e30)
 
-    def take(a, fill=0.0, far_fill=False):
-        out = np.full((T,) + a.shape[1:],
-                      FAR if far_fill else fill, dtype=a.dtype)
+    def take(a, fill=0.0):
+        out = np.full((T,) + a.shape[1:], fill, dtype=a.dtype)
         out[valid] = a[np.maximum(slots[valid], 0)]
         return out
 
-    v0 = take(v0, far_fill=True)   # padding at a far sentinel: never hit
+    # padding rows are all-zero: degenerate for every intersector (Woop rows
+    # are zeroed in _woop_matrices; MT sees det=0) and harmless when shading
+    # gathers hit them for missed rays (a FAR sentinel here overflowed f32
+    # norms in gradient paths)
+    v0 = take(v0)
     e1 = take(e1)
     e2 = take(e2)
     n0 = take(n0)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -146,8 +147,12 @@ def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
     need_shadow = facing & ~missed
     # dense any-hit; rays that don't need the query get tmax=0 (never hits)
     shadow_tmax = jnp.where(need_shadow, ldist, F32(0.0))
-    shadowed = any_hit(scene, ray_hit_pos, L, shadow_tmax, backend=backend,
-                       geom=geom, prim_axis=prim_axis)
+    # stop_gradient: hard-shadow visibility has zero derivative a.e., and
+    # the occlusion query's backward otherwise propagates 0 * inf = NaN
+    # residuals from far-sentinel lanes into light/geometry gradients
+    sg = jax.lax.stop_gradient
+    shadowed = any_hit(scene, sg(ray_hit_pos), sg(L), sg(shadow_tmax),
+                       backend=backend, geom=geom, prim_axis=prim_axis)
     shadowed = shadowed & need_shadow
 
     attenuation_local = jnp.where(shadowed, F32(0.3), F32(1.0))

@@ -117,3 +117,46 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
 
     final = jax.lax.while_loop(cond, body, init)
     return final.hit_value, final.hit_position, final.rays_traced
+
+
+def trace_rays_fixed(scene: Scene, settings: RenderSettings, origins, dirs,
+                     depth: int, backend: str = "jnp"):
+    """Differentiable variant: a static-depth `lax.scan` bounce loop.
+
+    `lax.while_loop` is not reverse-mode differentiable; with a fixed trip
+    count the whole render becomes a pure differentiable function of the
+    scene pytree (torus radii/transforms, materials, lights) — enabling
+    inverse rendering / gradient-based scene fitting, something the
+    reference's hardware pipeline cannot express. Semantics match
+    `trace_rays` for rays that terminate within `depth` bounces.
+
+    Use backend="jnp" (the Pallas custom calls do not define VJPs).
+    """
+    n = origins.shape[0]
+
+    def step(state, i):
+        origin, direction, hit_value, attenuation, hit_position, active = state
+        seg_tmax = jnp.where(active, F32(10000.0), F32(0.0))
+        hit = closest_hit(scene, origin, direction, tmax=seg_tmax,
+                          backend=backend)
+        sh = shade(scene, settings, origin, direction, hit, backend=backend)
+
+        live = active[:, None]
+        attenuation = jnp.where(live, attenuation * sh.atten_factor,
+                                attenuation)
+        hit_value = jnp.where(live, hit_value + sh.hit_value * attenuation,
+                              hit_value)
+        record_first = ((i == 0) & active)[:, None]
+        hit_position = jnp.where(record_first, sh.hit_position, hit_position)
+
+        active = active & ~sh.done
+        origin = jnp.where(active[:, None], sh.next_origin, origin)
+        direction = jnp.where(active[:, None], sh.next_dir, direction)
+        return (origin, direction, hit_value, attenuation, hit_position,
+                active), None
+
+    init = (origins, dirs, jnp.zeros((n, 3), F32), jnp.ones((n, 3), F32),
+            jnp.zeros((n, 3), F32), jnp.ones((n,), bool))
+    (_, _, hit_value, _, hit_position, _), _ = jax.lax.scan(
+        step, init, jnp.arange(max(depth, 1)))
+    return hit_value, hit_position
