@@ -53,10 +53,11 @@ def main():
         else:
             raise
 
-    # the TPU tunnel in this environment has high dispatch-latency variance;
-    # take the best of three timing windows (standard noisy-host protocol)
+    # the TPU tunnel in this environment has high latency/throughput
+    # variance run-to-run (shared infrastructure); take the best of five
+    # timing windows (standard noisy-host protocol)
     best_dt = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(frames):
             img, nrays = frame()
