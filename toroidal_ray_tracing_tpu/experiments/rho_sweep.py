@@ -16,7 +16,6 @@ SURVEY.md §7.5).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 
 import numpy as np
@@ -25,7 +24,6 @@ from toroidal_ray_tracing_tpu.cameras import ToroidalCamera
 from toroidal_ray_tracing_tpu.io import dumps
 from toroidal_ray_tracing_tpu.render import render
 from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene, procedural
-from toroidal_ray_tracing_tpu.utils import math3d
 
 RHO_START = 4.0   # main.cpp:245
 RHO_END = 10.0    # main.cpp:399-402

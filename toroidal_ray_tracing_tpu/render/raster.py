@@ -1,0 +1,192 @@
+"""Raster debug path — the reference's alternative raster pipeline (L3).
+
+The reference UI can toggle from the ray tracer to a classic raster view of
+the same scene (`useRayTracer`, VKT/ray_tracing__before/main.cpp:284,345-354;
+pipeline at hello_vulkan.cpp:156-185,404-431). Its fragment shader runs the
+same `computeDiffuse`/`computeSpecular` with the raster push constants but
+casts no shadow or reflection rays (shaders/frag_shader.frag:56-99).
+
+Here: a pure-jnp z-buffered triangle rasterizer — screen-space edge
+functions, perspective-correct attribute interpolation, per-fragment Phong.
+Brute-force pixels x triangles, chunked over triangles (it is a debug view,
+not the hot path; the analytic tori have no raster analog, matching the
+reference whose raster path also draws only the OBJ meshes).
+
+Limitation: no near-plane clipping — a triangle with any vertex behind the
+camera is culled rather than clipped (the reference gets clipping from the
+hardware rasterizer). Keep debug cameras outside the geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toroidal_ray_tracing_tpu.scene.types import LIGHT_POINT, RenderSettings, Scene
+
+F32 = np.float32
+_TRI_CHUNK = 512
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _raster_jit(scene: Scene, settings: RenderSettings, viewproj, width, height):
+    tris = scene.triangles
+    mats = scene.materials
+    T = tris.v0.shape[0]
+    npx = width * height
+
+    # screen-space pixel centers
+    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=F32),
+                          jnp.arange(width, dtype=F32), indexing="ij")
+    px = xs.reshape(-1) + F32(0.5)
+    py = ys.reshape(-1) + F32(0.5)
+
+    def project(p):
+        ph = jnp.concatenate([p, jnp.ones((p.shape[0], 1), F32)], axis=1)
+        clip = jnp.einsum("ni,ji->nj", ph, viewproj, precision="highest")
+        w = clip[:, 3]
+        ok = w > F32(1e-6)
+        inv_w = jnp.where(ok, F32(1.0) / jnp.where(ok, w, F32(1.0)), F32(0.0))
+        ndc = clip[:, :3] * inv_w[:, None]
+        sx = (ndc[:, 0] + F32(1.0)) * F32(0.5) * width
+        sy = (ndc[:, 1] + F32(1.0)) * F32(0.5) * height
+        return sx, sy, ndc[:, 2], inv_w, ok
+
+    v0 = tris.v0
+    v1 = tris.v0 + tris.e1
+    v2 = tris.v0 + tris.e2
+    x0, y0, z0, iw0, ok0 = project(v0)
+    x1, y1, z1, iw1, ok1 = project(v1)
+    x2, y2, z2, iw2, ok2 = project(v2)
+    tri_ok = ok0 & ok1 & ok2 & jnp.asarray(tris.valid)
+
+    def chunk_body(start, carry):
+        zbuf, prim, bu, bv = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, _TRI_CHUNK)  # noqa: E731
+        cx0, cy0, cz0 = sl(x0)[None], sl(y0)[None], sl(z0)[None]
+        cx1, cy1, cz1 = sl(x1)[None], sl(y1)[None], sl(z1)[None]
+        cx2, cy2, cz2 = sl(x2)[None], sl(y2)[None], sl(z2)[None]
+        cw0, cw1, cw2 = sl(iw0)[None], sl(iw1)[None], sl(iw2)[None]
+        cok = sl(tri_ok)[None]
+
+        # edge functions (screen space), (P, C)
+        pxc = px[:, None]
+        pyc = py[:, None]
+        area = (cx1 - cx0) * (cy2 - cy0) - (cy1 - cy0) * (cx2 - cx0)
+        a_ok = jnp.abs(area) > F32(1e-12)
+        inv_area = jnp.where(a_ok, F32(1.0), F32(0.0)) / \
+            jnp.where(a_ok, area, F32(1.0))
+        w0 = ((cx1 - pxc) * (cy2 - pyc) - (cy1 - pyc) * (cx2 - pxc)) * inv_area
+        w1 = ((cx2 - pxc) * (cy0 - pyc) - (cy2 - pyc) * (cx0 - pxc)) * inv_area
+        w2 = F32(1.0) - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & a_ok & cok
+        z = w0 * cz0 + w1 * cz1 + w2 * cz2            # NDC z is screen-linear
+        z = jnp.where(inside & (z >= 0.0) & (z <= 1.0), z, F32(2.0))
+
+        zmin = jnp.min(z, axis=1)
+        better = zmin < zbuf
+        cols = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+        arg = jnp.argmin(z, axis=1)
+        rows = jnp.arange(npx)
+        return (
+            jnp.where(better, zmin, zbuf),
+            jnp.where(better, start + arg.astype(jnp.int32), prim),
+            jnp.where(better, w0[rows, arg], bu),
+            jnp.where(better, w1[rows, arg], bv),
+        )
+
+    n_chunks = -(-T // _TRI_CHUNK)
+    pad = n_chunks * _TRI_CHUNK - T
+
+    def padt(a, fill):
+        return jnp.concatenate([a, jnp.full((pad,) + a.shape[1:], fill,
+                                            a.dtype)]) if pad else a
+
+    x0, y0, z0, iw0 = padt(x0, 0), padt(y0, 0), padt(z0, 2.0), padt(iw0, 0)
+    x1, y1, z1, iw1 = padt(x1, 0), padt(y1, 0), padt(z1, 2.0), padt(iw1, 0)
+    x2, y2, z2, iw2 = padt(x2, 0), padt(y2, 0), padt(z2, 2.0), padt(iw2, 0)
+    tri_ok = padt(tri_ok, False)
+
+    carry = (jnp.full((npx,), F32(1.5)), jnp.zeros((npx,), jnp.int32),
+             jnp.zeros((npx,), F32), jnp.zeros((npx,), F32))
+    carry = jax.lax.fori_loop(
+        0, n_chunks, lambda i, c: chunk_body(i * _TRI_CHUNK, c), carry)
+    zbuf, prim, w0b, w1b = carry
+    hit = zbuf <= 1.0
+    w2b = F32(1.0) - w0b - w1b
+
+    # perspective-correct interpolation weights
+    pw0 = w0b * iw0[prim]
+    pw1 = w1b * iw1[prim]
+    pw2 = w2b * iw2[prim]
+    denom = jnp.maximum(pw0 + pw1 + pw2, F32(1e-20))
+    pw0, pw1, pw2 = pw0 / denom, pw1 / denom, pw2 / denom
+
+    world_pos = (pw0[:, None] * tris.v0[prim]
+                 + pw1[:, None] * (tris.v0 + tris.e1)[prim]
+                 + pw2[:, None] * (tris.v0 + tris.e2)[prim])
+    nrm = (pw0[:, None] * tris.n0[prim] + pw1[:, None] * tris.n1[prim]
+           + pw2[:, None] * tris.n2[prim])
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+                            F32(1e-30))
+    mat_id = tris.mat_id[prim]
+
+    # frag_shader.frag:56-99 — computeDiffuse + computeSpecular, no shadows
+    light = settings.light
+    lpos = jnp.asarray(light.position, F32)
+    is_point = jnp.asarray(light.type, jnp.int32) == LIGHT_POINT
+    ldir = lpos[None, :] - world_pos
+    ldist = jnp.linalg.norm(ldir, axis=-1)
+    L = jnp.where(is_point, ldir / jnp.maximum(ldist[:, None], F32(1e-20)),
+                  lpos / jnp.maximum(jnp.linalg.norm(lpos), F32(1e-20)))
+    lint = jnp.where(is_point,
+                     jnp.asarray(light.intensity, F32)
+                     / jnp.maximum(ldist * ldist, F32(1e-20)),
+                     jnp.asarray(light.intensity, F32))
+
+    ndotl = jnp.sum(nrm * L, axis=-1)
+    diffuse = mats.diffuse[mat_id] * jnp.maximum(ndotl, 0.0)[:, None]
+    diffuse = jnp.where((mats.illum[mat_id] >= 1)[:, None],
+                        diffuse + mats.ambient[mat_id], diffuse)
+
+    # viewDir: from eye to fragment (the raster path has no ray, frag uses
+    # the camera position from the uniform)
+    # eye = inverse(viewproj) is not available here; pass via settings? the
+    # fragment shader uses viewDir = worldPos - eye; we recover the eye from
+    # the caller instead (threaded as the last viewproj row trick is fragile)
+    return hit, world_pos, nrm, mat_id, diffuse, lint, L, ndotl
+
+
+def raster_render(scene: Scene, camera, width: int, height: int,
+                  settings: RenderSettings | None = None):
+    """Debug raster view of the triangle geometry (no shadows/reflections).
+
+    Returns {"image": (H, W, 3) linear} — compare with the ray-traced view
+    the way the reference's UI checkbox did.
+    """
+    if settings is None:
+        settings = RenderSettings.default()
+    view, proj, _, _ = camera.matrices(width / height)
+    viewproj = jnp.asarray((proj @ view).astype(F32))
+    hit, world_pos, nrm, mat_id, diffuse, lint, L, ndotl = _raster_jit(
+        scene, settings, viewproj, width, height)
+
+    mats = scene.materials
+    eye = jnp.asarray(np.asarray(camera.eye, F32))
+    V = eye[None, :] - world_pos
+    V = V / jnp.maximum(jnp.linalg.norm(V, axis=-1, keepdims=True), F32(1e-30))
+    kshine = jnp.maximum(jnp.asarray(mats.shininess)[mat_id], 4.0)
+    energy = (F32(2.0) + kshine) / F32(2.0 * np.pi)
+    R = 2.0 * jnp.sum(L * nrm, axis=-1, keepdims=True) * nrm - L
+    spec = energy * jnp.power(
+        jnp.maximum(jnp.sum(V * R, axis=-1), 0.0), kshine)
+    spec = jnp.where(jnp.asarray(mats.illum)[mat_id] >= 2, spec, 0.0)
+    specular = jnp.asarray(mats.specular)[mat_id] * spec[:, None]
+
+    color = lint[:, None] * (diffuse + specular)
+    clear = jnp.asarray(settings.clear_color, F32)[:3]
+    image = jnp.where(hit[:, None], color, clear[None, :])
+    return {"image": image.reshape(height, width, 3)}
