@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 
 from toroidal_ray_tracing_tpu.scene.types import (
-    Instance,
     Material,
     Scene,
     SceneDef,
