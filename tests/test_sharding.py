@@ -74,6 +74,64 @@ def test_graft_dryrun_multichip():
 
 
 @needs_8
+def test_prim_shards_carry_tight_cluster_bounds():
+    """Each prims-axis shard must cull against its own finite cluster AABBs
+    (not the old +/-3e38 no-cull fallback): the per-shard bounds handed to the
+    kernel must match bounds recomputed from that shard's triangles, and a
+    spread-out scene must actually prune most (ray, cluster) pairs."""
+    from toroidal_ray_tracing_tpu.parallel.sharding import pad_scene_for_mesh
+
+    n_prims = 4
+    sd = procedural.scene_instanced_torus_grid(n=64, analytic=False)
+    scene = pad_scene_for_mesh(build_scene(sd), n_prims)
+    cs = scene.cluster_size
+    T = scene.triangles.count
+    C = np.asarray(scene.cluster_lo).shape[0]
+    assert T % (cs * n_prims) == 0 and C % n_prims == 0
+
+    v0 = np.asarray(scene.triangles.v0)
+    e1 = np.asarray(scene.triangles.e1)
+    e2 = np.asarray(scene.triangles.e2)
+    valid = np.asarray(scene.triangles.valid)
+    lo_all = np.asarray(scene.cluster_lo)
+    hi_all = np.asarray(scene.cluster_hi)
+    for s in range(n_prims):
+        cl = slice(s * C // n_prims, (s + 1) * C // n_prims)
+        lo, hi = lo_all[cl], hi_all[cl]
+        assert (np.abs(lo) < 1e31).all() and (np.abs(hi) < 1e31).all()
+        tr = slice(s * T // n_prims, (s + 1) * T // n_prims)
+        tv, te1, te2, m = v0[tr], e1[tr], e2[tr], valid[tr]
+        tlo = np.minimum(np.minimum(tv, tv + te1), tv + te2)
+        thi = np.maximum(np.maximum(tv, tv + te1), tv + te2)
+        ncl = lo.shape[0]
+        m3 = m.reshape(ncl, cs)
+        for ci in range(ncl):
+            if m3[ci].any():
+                assert np.allclose(
+                    lo[ci], tlo.reshape(ncl, cs, 3)[ci][m3[ci]].min(0),
+                    atol=1e-5)
+                assert np.allclose(
+                    hi[ci], thi.reshape(ncl, cs, 3)[ci][m3[ci]].max(0),
+                    atol=1e-5)
+
+    # cull-rate: rays from one side of the 8x8 grid should miss most of the
+    # other shards' cluster boxes (mirror of the kernel's slab test)
+    cam = PinholeCamera(eye=(20.0, 3.0, 0.0), center=(16.0, 0.0, 0.0))
+    st = RenderSettings.default(max_depth=1)
+    from toroidal_ray_tracing_tpu.cameras import generate_rays
+    o, d = generate_rays(cam, 16, 16, st)
+    o, d = np.asarray(o), np.asarray(d)
+    inv = np.where(np.abs(d) > 1e-30, 1.0 / np.where(d == 0, 1.0, d),
+                   np.where(d >= 0, 3e38, -3e38))
+    t0 = (lo_all[:, None] - o[None]) * inv[None]          # (C, N, 3)
+    t1 = (hi_all[:, None] - o[None]) * inv[None]
+    tn = np.minimum(t0, t1).max(-1)
+    tf = np.maximum(t0, t1).min(-1)
+    hit_frac = ((tn <= tf) & (tf >= 1e-3)).mean()
+    assert hit_frac < 0.5, f"culling ineffective: {hit_frac:.2f} of pairs pass"
+
+
+@needs_8
 @pytest.mark.parametrize("shape", [(4, 2), (1, 8)])
 def test_pallas_backend_sharded(setup, shape):
     """Fused-kernel path composes with primitive sharding (interpret mode)."""

@@ -377,15 +377,17 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax):
     if has_tris:
         T_local = geom.woop_o.shape[2]
         cs = scene.cluster_size
-        if T_local % cs != 0:
-            cs = T_local  # sharded slice smaller than a cluster: one block
-        if T_local == scene.triangles.count and cs == scene.cluster_size:
-            clo, chi = scene.cluster_lo, scene.cluster_hi
+        n_cl = geom.cluster_lo.shape[0]
+        if n_cl * cs == T_local:
+            # slice-aligned clusters (the whole scene, or a prims-axis shard
+            # cut on cluster boundaries by pad_scene_for_mesh)
+            clo, chi = geom.cluster_lo, geom.cluster_hi
         else:
-            # sharded slice: per-slice cluster bounds are not threaded
-            # through GeomSlice yet — fall back to no culling in-shard
-            clo = jnp.full((max(T_local // cs, 1), 3), -3e38, F32)
-            chi = jnp.full((max(T_local // cs, 1), 3), 3e38, F32)
+            # hand-built slice not cut on cluster boundaries: treat it as one
+            # uncullable block
+            cs = T_local
+            clo = jnp.full((1, 3), -3e38, F32)
+            chi = jnp.full((1, 3), 3e38, F32)
         tt, ti, tu, tv = tri_closest_hit_pallas(
             origins, dirs, tmax, geom.woop_o, geom.woop_d, clo, chi, cs)
         better = tt < t_best
@@ -396,16 +398,9 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax):
         v = jnp.where(better, tv, v)
 
     if has_tori:
-        tor = scene.tori
-        K_local = geom.tor_major.shape[0]
-        if K_local == tor.count:
-            center, bound = tor.center, tor.bound_radius
-        else:
-            center = jnp.zeros((K_local, 3), F32)
-            bound = jnp.full((K_local,), 3e37, F32)
         kt, ki = torus_closest_hit_pallas(
             origins, dirs, tmax, geom.tor_w2o, geom.tor_major,
-            geom.tor_minor, center, bound)
+            geom.tor_minor, geom.tor_center, geom.tor_bound)
         better = kt < t_best
         t_best = jnp.where(better, kt, t_best)
         kind = jnp.where(better, 1, kind)

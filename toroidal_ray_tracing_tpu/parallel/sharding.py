@@ -28,7 +28,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from toroidal_ray_tracing_tpu.cameras import generate_rays
-from toroidal_ray_tracing_tpu.scene.types import RenderSettings, Scene, TorusSoup
+from toroidal_ray_tracing_tpu.scene.types import (RenderSettings, Scene,
+                                                  TriangleSoup, TorusSoup)
 from toroidal_ray_tracing_tpu.trace.intersect import GeomSlice
 from toroidal_ray_tracing_tpu.trace.wavefront import trace_rays
 
@@ -51,13 +52,59 @@ def make_mesh(n_ray_shards: Optional[int] = None, n_prim_shards: int = 1,
 
 
 def pad_scene_for_mesh(scene: Scene, n_prim_shards: int) -> Scene:
-    """Pad the torus batch (and validate triangle padding) so primitive
-    counts divide evenly across the "prims" axis."""
-    T = scene.triangles.count
-    assert T % n_prim_shards == 0, (
-        f"triangle count {T} not divisible by prims={n_prim_shards}; "
-        f"use a cluster_size divisible by the shard count")
+    """Pad triangle clusters and the torus batch so primitive counts divide
+    evenly across the "prims" axis — with shard cuts landing on cluster
+    boundaries, so each shard culls against whole clusters of its own
+    (GeomSlice.cluster_lo/hi)."""
+    scene = _pad_triangles_for_mesh(scene, n_prim_shards)
     K = scene.tori.count
+    return _pad_tori_for_mesh(scene, K, n_prim_shards)
+
+
+def _pad_triangles_for_mesh(scene: Scene, n_prim_shards: int) -> Scene:
+    """Append guaranteed-miss triangles (and empty clusters) until the
+    triangle count divides into whole clusters per shard."""
+    cs = scene.cluster_size
+    T = scene.triangles.count
+    step = cs * n_prim_shards
+    Tp = ((T + step - 1) // step) * step
+    if Tp == T:
+        return scene
+    pad = Tp - T
+    tri = scene.triangles
+
+    def cat(a, fill, shape):
+        return np.concatenate(
+            [np.asarray(a), np.full(shape, fill, np.asarray(a).dtype)], axis=0)
+
+    # padding Woop transforms follow build._woop_matrices' degenerate
+    # convention: W = 0, c = (0, 0, 1) => d'z = 0 => never hits
+    woop_o_pad = np.zeros((3, 4, pad), F32)
+    woop_o_pad[2, 3, :] = 1.0
+    triangles = TriangleSoup(
+        v0=cat(tri.v0, 0.0, (pad, 3)), e1=cat(tri.e1, 0.0, (pad, 3)),
+        e2=cat(tri.e2, 0.0, (pad, 3)), n0=cat(tri.n0, 0.0, (pad, 3)),
+        n1=cat(tri.n1, 0.0, (pad, 3)), n2=cat(tri.n2, 0.0, (pad, 3)),
+        uv0=cat(tri.uv0, 0.0, (pad, 2)), uv1=cat(tri.uv1, 0.0, (pad, 2)),
+        uv2=cat(tri.uv2, 0.0, (pad, 2)),
+        mat_id=cat(tri.mat_id, 0, (pad,)),
+        instance_id=cat(tri.instance_id, -1, (pad,)),
+        valid=cat(tri.valid, False, (pad,)),
+        woop_o=np.concatenate([np.asarray(tri.woop_o), woop_o_pad], axis=2),
+        woop_d=np.concatenate([np.asarray(tri.woop_d),
+                               np.zeros((3, 3, pad), F32)], axis=2),
+    )
+    pad_cl = pad // cs
+    FAR = F32(1e30)  # inverted (empty) boxes — culled for every ray
+    cluster_lo = np.concatenate(
+        [np.asarray(scene.cluster_lo), np.full((pad_cl, 3), FAR, F32)], axis=0)
+    cluster_hi = np.concatenate(
+        [np.asarray(scene.cluster_hi), np.full((pad_cl, 3), -FAR, F32)], axis=0)
+    return dataclasses.replace(scene, triangles=triangles,
+                               cluster_lo=cluster_lo, cluster_hi=cluster_hi)
+
+
+def _pad_tori_for_mesh(scene: Scene, K: int, n_prim_shards: int) -> Scene:
     Kp = ((K + n_prim_shards - 1) // n_prim_shards) * n_prim_shards
     if Kp == K:
         return scene
@@ -89,15 +136,18 @@ def _trace_sharded(scene, settings, origins, dirs, mesh, backend, n_rays,
     ray_axis = "rays" if n_rays > 1 else None
     prim_axis = "prims" if n_prims > 1 else None
 
-    def body(scene, settings, o, d, woop_o, woop_d, tor_w2o, tor_R, tor_r):
+    def body(scene, settings, o, d, woop_o, woop_d, clo, chi,
+             tor_w2o, tor_R, tor_r, tor_c, tor_b):
         t_local = woop_o.shape[2]
         k_local = tor_R.shape[0]
         pid = jax.lax.axis_index("prims")
         geom = GeomSlice(
             woop_o=woop_o, woop_d=woop_d,
             tri_offset=(pid * t_local).astype(jnp.int32),
+            cluster_lo=clo, cluster_hi=chi,
             tor_w2o=tor_w2o, tor_major=tor_R, tor_minor=tor_r,
             tor_offset=(pid * k_local).astype(jnp.int32),
+            tor_center=tor_c, tor_bound=tor_b,
         )
         hv, hp, nr = trace_rays(scene, settings, o, d, backend=backend,
                                 geom=geom, prim_axis=prim_axis,
@@ -117,12 +167,16 @@ def _trace_sharded(scene, settings, origins, dirs, mesh, backend, n_rays,
             P("rays"), P("rays"),     # origins, dirs
             P(None, None, "prims"),   # woop_o
             P(None, None, "prims"),   # woop_d
+            P("prims"), P("prims"),   # cluster_lo, cluster_hi
             P("prims"), P("prims"), P("prims"),  # torus slices
+            P("prims"), P("prims"),   # torus centers, bound radii
         ),
         out_specs=(P("rays"), P("rays"), P()),
         check_vma=False,
     )(scene, settings, origins, dirs, tris.woop_o, tris.woop_d,
-      tor.world_to_obj, tor.major_radius, tor.minor_radius)
+      scene.cluster_lo, scene.cluster_hi,
+      tor.world_to_obj, tor.major_radius, tor.minor_radius,
+      tor.center, tor.bound_radius)
     return out
 
 
@@ -153,9 +207,12 @@ def render_sharded(
     pad = (-n) % n_rays
     ray_sharding = NamedSharding(mesh, P("rays"))
 
-    def prep(a):
+    def prep(a, fill=0.0):
         if pad:
-            a = jnp.concatenate([a, jnp.zeros((pad, 3), F32)])
+            # pad directions with unit vectors: zero-direction rays drive the
+            # torus quartic's 1/m^2 terms to inf/NaN and burn work even
+            # though their lanes are discarded by unpad
+            a = jnp.concatenate([a, jnp.full((pad, 3), F32(fill))])
         return jax.device_put(a, ray_sharding)
 
     rng = np.random.default_rng(seed)
@@ -166,7 +223,7 @@ def render_sharded(
         jitter = None if s == 0 else jnp.asarray(
             rng.random((n, 2), dtype=np.float32))
         o, d = generate_rays(camera, width, height, settings, jitter=jitter)
-        o, d = prep(o), prep(d)
+        o, d = prep(o), prep(d, fill=1.0)
         if s == 0:
             origins0, dirs0 = o, d
         color, hp, nr = _trace_sharded(scene, settings, o, d, mesh, backend,

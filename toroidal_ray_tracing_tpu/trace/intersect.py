@@ -48,15 +48,23 @@ class Hit(NamedTuple):
 
 class GeomSlice(NamedTuple):
     """The intersection-only geometry a device tests: possibly a shard of the
-    scene's primitives. Offsets map local indices back to global ids."""
+    scene's primitives. Offsets map local indices back to global ids.
+
+    Culling metadata travels with the slice so the Pallas kernels keep their
+    cluster/bounding-sphere prepasses under primitive sharding (each shard
+    culls against its own clusters — the TLAS-per-shard analog)."""
 
     woop_o: Any      # (4, 3, Tl)
     woop_d: Any      # (3, 3, Tl)
     tri_offset: Any  # () i32
+    cluster_lo: Any  # (Cl, 3) — AABBs of this slice's triangle clusters
+    cluster_hi: Any  # (Cl, 3)
     tor_w2o: Any     # (Kl, 3, 4)
     tor_major: Any   # (Kl,)
     tor_minor: Any   # (Kl,)
     tor_offset: Any  # () i32
+    tor_center: Any  # (Kl, 3) — world bounding-sphere centers
+    tor_bound: Any   # (Kl,)   — world bounding-sphere radii
 
 
 def geom_from_scene(scene: Scene) -> GeomSlice:
@@ -64,10 +72,14 @@ def geom_from_scene(scene: Scene) -> GeomSlice:
         woop_o=scene.triangles.woop_o,
         woop_d=scene.triangles.woop_d,
         tri_offset=jnp.asarray(0, jnp.int32),
+        cluster_lo=scene.cluster_lo,
+        cluster_hi=scene.cluster_hi,
         tor_w2o=scene.tori.world_to_obj,
         tor_major=scene.tori.major_radius,
         tor_minor=scene.tori.minor_radius,
         tor_offset=jnp.asarray(0, jnp.int32),
+        tor_center=scene.tori.center,
+        tor_bound=scene.tori.bound_radius,
     )
 
 
