@@ -35,9 +35,16 @@ inline const char* skip_ws(const char* p) {
   return p;
 }
 
+// Collision-free (vi, ti, ni) -> corner key: non-overlapping 21-bit fields.
+// Returns -1 when any index exceeds 21 bits (>2M positions/texcoords/
+// normals); the caller then fails the parse and the Python loader takes
+// over. (The previous XOR pack overlapped fields and could silently alias
+// distinct corners on meshes with >1M texcoords/normals.)
 inline int64_t key_of(int vi, int ti, int ni) {
-  return (static_cast<int64_t>(vi) << 40) ^ (static_cast<int64_t>(ti + 1) << 20) ^
-         static_cast<int64_t>(ni + 1);
+  const int64_t LIM = int64_t(1) << 21;
+  int64_t a = vi, b = int64_t(ti) + 1, c = int64_t(ni) + 1;
+  if (a < 0 || a >= LIM || b < 0 || b >= LIM || c < 0 || c >= LIM) return -1;
+  return (a << 42) | (b << 21) | c;
 }
 
 }  // namespace
@@ -114,6 +121,12 @@ int trt_obj_parse(const char* path) {
         if (V < 0 || V >= nv) continue;
 
         int64_t key = key_of(V, T, N);
+        if (key < 0) {  // index beyond the 21-bit pack: let Python handle it
+          std::fclose(f);
+          delete g_obj;
+          g_obj = nullptr;
+          return 2;
+        }
         auto it = cache.find(key);
         int32_t packed;
         if (it != cache.end()) {

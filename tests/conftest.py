@@ -19,8 +19,10 @@ import jax  # noqa: E402
 
 # The env var JAX_PLATFORMS is pinned to "axon" by the harness sitecustomize
 # and survives os.environ edits; the config update below is what actually
-# forces the CPU backend.
-jax.config.update("jax_platforms", "cpu")
+# forces the CPU backend. Set TRT_TEST_PLATFORM to run the suite on a real
+# backend instead (e.g. TRT_TEST_PLATFORM=axon for tests/test_tpu_smoke.py).
+jax.config.update("jax_platforms",
+                  os.environ.get("TRT_TEST_PLATFORM", "cpu"))
 
 # Persistent compilation cache: the quartic-heavy render graphs take ~1 min
 # each to compile on CPU XLA; cache them across test runs.

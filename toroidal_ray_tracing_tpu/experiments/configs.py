@@ -79,7 +79,7 @@ SCENARIOS = {
                                      center=(0.0, 0.0, 0.0))),
     5: Scenario("config5_4k_flythrough",
                 lambda: procedural.scene_multi_torus(analytic=True),
-                3840, 2160, 3, spp=2, animate_frames=8, tile_rows=270),
+                3840, 2160, 3, spp=2, animate_frames=8),
 }
 
 

@@ -59,10 +59,20 @@ def _load():
             lib.trt_obj_parse.restype = ctypes.c_int
             lib.trt_obj_parse.argtypes = [ctypes.c_char_p]
             lib.trt_obj_num_vertices.restype = ctypes.c_int64
+            lib.trt_obj_num_vertices.argtypes = []
             lib.trt_obj_num_triangles.restype = ctypes.c_int64
+            lib.trt_obj_num_triangles.argtypes = []
             lib.trt_obj_get.restype = ctypes.c_int
+            lib.trt_obj_get.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
             lib.trt_obj_mtl_names.restype = ctypes.c_int64
+            lib.trt_obj_mtl_names.argtypes = [ctypes.c_char_p, ctypes.c_int64]
             lib.trt_obj_mtllib.restype = ctypes.c_int64
+            lib.trt_obj_mtllib.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.trt_obj_free.restype = None
+            lib.trt_obj_free.argtypes = []
             _lib = lib
         except Exception:
             _lib = None

@@ -49,6 +49,12 @@ def _render_banded(scene, camera, width, height, settings, backend, spp,
     bands = [(y0, min(tile_rows, height - y0))
              for y0 in range(0, height, tile_rows)]
 
+    def shard(a):
+        # place each band's ray slice sharded so the banded path composes
+        # with data parallelism (it previously ignored out_sharding and ran
+        # the whole frame on one device)
+        return a if out_sharding is None else jax.device_put(a, out_sharding)
+
     band_color = [None] * len(bands)
     band_hit = [None] * len(bands)
     nrays = jnp.asarray(0.0, F32)
@@ -65,8 +71,8 @@ def _render_banded(scene, camera, width, height, settings, backend, spp,
             orig0, dir0 = o_full, d_full
         for bi, (y0, rows) in enumerate(bands):
             sl = slice(y0 * width, (y0 + rows) * width)
-            c, hp, nr = _trace_jit(scene, settings, o_full[sl], d_full[sl],
-                                   backend)
+            c, hp, nr = _trace_jit(scene, settings, shard(o_full[sl]),
+                                   shard(d_full[sl]), backend)
             band_color[bi] = c if band_color[bi] is None else band_color[bi] + c
             nrays = nrays + nr
             if s == 0:

@@ -35,7 +35,8 @@ class RayState(NamedTuple):
     active: Any        # (N,) bool — still bouncing
     any_active: Any    # () bool — global (cross-device) "some ray bouncing"
     depth: Any         # () i32
-    rays_traced: Any   # () i64-ish f32 — traceRayEXT-equivalent count
+    rays_traced: Any   # () i32 — traceRayEXT-equivalent count (exact; the
+                       #   old f32 accumulator lost integer precision >2^24)
 
 
 def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
@@ -63,7 +64,7 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         active=jnp.ones((n,), bool),
         any_active=jnp.asarray(True),
         depth=jnp.asarray(0, jnp.int32),
-        rays_traced=jnp.asarray(0.0, F32),
+        rays_traced=jnp.asarray(0, jnp.int32),
     )
 
     def cond(state: RayState):
@@ -105,8 +106,8 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
 
         # traceRayEXT-equivalent count: one closest-hit per live ray plus one
         # shadow ray per lit hit (raytrace.rchit:90-109)
-        rays = state.rays_traced + jnp.sum(state.active.astype(F32)) \
-            + jnp.sum((state.active & sh.shadow_rays).astype(F32))
+        rays = state.rays_traced + jnp.sum(state.active.astype(jnp.int32)) \
+            + jnp.sum((state.active & sh.shadow_rays).astype(jnp.int32))
 
         return RayState(
             origin=origin, dir=direction, hit_value=hit_value,
@@ -116,7 +117,9 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         )
 
     final = jax.lax.while_loop(cond, body, init)
-    return final.hit_value, final.hit_position, final.rays_traced
+    # f32 at the boundary: callers accumulate across spp/bands/devices where
+    # relative (not unit) precision suffices for the Mrays/s statistic
+    return final.hit_value, final.hit_position, final.rays_traced.astype(F32)
 
 
 def trace_rays_fixed(scene: Scene, settings: RenderSettings, origins, dirs,
