@@ -37,20 +37,26 @@ class PinholeCamera:
         proj = math3d.perspective_vk(self.fov_deg, aspect, self.near, self.far)
         return view, proj, math3d.inverse(view), math3d.inverse(proj)
 
-    def generate_rays(self, width: int, height: int, settings=None, xp=None,
-                      jitter=None):
-        """Rays for every pixel, row-major (i = y*W + x). `jitter` is an
-        optional (H*W, 2) array of subpixel offsets in [0,1) replacing the
-        fixed +0.5 pixel center (for the jittered-AA config)."""
+    def ray_params(self, width: int, height: int, settings=None):
+        """Small dynamic arrays consumed by `device_rays` — pass these as jit
+        arguments so animated cameras don't recompile per pose."""
+        _, _, view_inv, proj_inv = self.matrices(width / height)
+        return (view_inv.astype(F32), proj_inv.astype(F32))
+
+    @staticmethod
+    def device_rays(params, width: int, height: int, settings=None, xp=None,
+                    jitter=None):
+        """Fully traceable raygen: pixel indices come from an on-device
+        arange, so a jitted frame moves ZERO per-ray data over the host link
+        (the old host-meshgrid path shipped ~16 MB per 1080p frame through
+        the TPU tunnel — more wall-clock than the whole trace)."""
         if xp is None:
             import jax.numpy as xp  # noqa: PLC0415
+        view_inv, proj_inv = params
 
-        _, _, view_inv, proj_inv = self.matrices(width / height)
-
-        ys, xs = np.meshgrid(np.arange(height, dtype=F32),
-                             np.arange(width, dtype=F32), indexing="ij")
-        px = xp.asarray(xs.reshape(-1))
-        py = xp.asarray(ys.reshape(-1))
+        i = xp.arange(width * height, dtype=np.int32)
+        px = (i % width).astype(F32)
+        py = (i // width).astype(F32)
         if jitter is not None:
             px = px + jitter[:, 0]
             py = py + jitter[:, 1]
@@ -63,12 +69,22 @@ class PinholeCamera:
         # elementwise formulation (no matmul: TPU would default f32 matmuls
         # to bf16 MXU passes, which is far too coarse for ray directions)
         ndc = xp.stack([dx, dy, xp.ones_like(dx), xp.ones_like(dx)], axis=-1)
-        target = xp.einsum("ni,ji->nj", ndc, xp.asarray(proj_inv),
-                           precision="highest") if xp is not np else ndc @ proj_inv.T
+        pi = xp.asarray(proj_inv)
+        target = (xp.einsum("ni,ji->nj", ndc, pi, precision="highest")
+                  if xp is not np else ndc @ proj_inv.T)
         t3 = target[:, :3]
         t3 = t3 / xp.linalg.norm(t3, axis=-1, keepdims=True)
         vi = xp.asarray(view_inv)
         dirs = (xp.einsum("ni,ji->nj", t3, vi[:3, :3], precision="highest")
-                if xp is not np else t3 @ view_inv[:3, :3].T)
+                if xp is not np else t3 @ np.asarray(view_inv)[:3, :3].T)
         origin = xp.broadcast_to(vi[:3, 3], dirs.shape)
         return origin.astype(F32), dirs.astype(F32)
+
+    def generate_rays(self, width: int, height: int, settings=None, xp=None,
+                      jitter=None):
+        """Rays for every pixel, row-major (i = y*W + x). `jitter` is an
+        optional (H*W, 2) array of subpixel offsets in [0,1) replacing the
+        fixed +0.5 pixel center (for the jittered-AA config)."""
+        params = self.ray_params(width, height, settings)
+        return self.device_rays(params, width, height, settings, xp=xp,
+                                jitter=jitter)

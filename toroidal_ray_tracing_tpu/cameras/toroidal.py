@@ -62,39 +62,54 @@ class ToroidalCamera:
                 theta = F32(360.0) - theta
         return float(omega), float(theta)
 
-    def generate_rays(self, width: int, height: int, settings, xp=None,
-                      jitter=None):
-        """Rays for every pixel, row-major (i = y*W + x). `jitter` optionally
-        perturbs the (x, y) pixel coordinates for AA (framework extension —
-        the reference samples exact integer pixel corners, rgen:27-28)."""
-        if xp is None:
-            import jax.numpy as xp  # noqa: PLC0415
-
+    def ray_params(self, width: int, height: int, settings):
+        """Small dynamic arrays consumed by `device_rays`: (eye, [omega,
+        theta, rho]). omega/theta involve host-side acos branch flips on
+        concrete floats (rgen:34-53), so they're baked here per frame."""
         rho = float(np.asarray(settings.rho))
         omega, theta = self.offsets(rho)
-        eye = np.asarray(self.eye, dtype=F32)
+        return (np.asarray(self.eye, dtype=F32),
+                np.asarray([omega, theta, rho], dtype=F32))
+
+    @staticmethod
+    def device_rays(params, width: int, height: int, settings=None, xp=None,
+                    jitter=None):
+        """Fully traceable raygen (pixel indices from an on-device arange —
+        no per-ray host->device traffic; see PinholeCamera.device_rays)."""
+        if xp is None:
+            import jax.numpy as xp  # noqa: PLC0415
+        eye, ang = params
+        eye = xp.asarray(eye)
+        omega, theta, rho = ang[0], ang[1], ang[2]
 
         d_alfa = F32(360.0) / F32(width)
         d_beta = F32(360.0) / F32(height)
-        ys, xs = np.meshgrid(np.arange(height, dtype=F32),
-                             np.arange(width, dtype=F32), indexing="ij")
-        px = xp.asarray(xs.reshape(-1))
-        py = xp.asarray(ys.reshape(-1))
+        i = xp.arange(width * height, dtype=np.int32)
+        px = (i % width).astype(F32)
+        py = (i // width).astype(F32)
         if jitter is not None:
             px = px + jitter[:, 0]
             py = py + jitter[:, 1]
         alfa = d_alfa * px
         beta = d_beta * py
 
-        a = xp.radians(alfa + F32(omega))
-        b = xp.radians(beta + F32(theta))
+        a = xp.radians(alfa + omega)
+        b = xp.radians(beta + theta)
         ca, sa = xp.cos(a), xp.sin(a)
         cb, sb = xp.cos(b), xp.sin(b)
 
-        rho32 = F32(rho)
         origins = xp.stack(
-            [eye[0] + rho32 * ca,
-             xp.full_like(ca, eye[1]),
-             eye[2] + rho32 * sa], axis=-1)
+            [eye[0] + rho * ca,
+             xp.broadcast_to(eye[1], ca.shape),
+             eye[2] + rho * sa], axis=-1)
         dirs = xp.stack([ca * cb, sb, sa * cb], axis=-1)
         return origins.astype(F32), dirs.astype(F32)
+
+    def generate_rays(self, width: int, height: int, settings, xp=None,
+                      jitter=None):
+        """Rays for every pixel, row-major (i = y*W + x). `jitter` optionally
+        perturbs the (x, y) pixel coordinates for AA (framework extension —
+        the reference samples exact integer pixel corners, rgen:27-28)."""
+        params = self.ray_params(width, height, settings)
+        return self.device_rays(params, width, height, settings, xp=xp,
+                                jitter=jitter)

@@ -32,6 +32,24 @@ def _trace_jit(scene, settings, origins, dirs, backend="jnp"):
     return trace_rays(scene, settings, origins, dirs, backend=backend)
 
 
+@functools.partial(jax.jit, static_argnames=("cam_cls", "width", "height",
+                                             "backend", "use_jitter"))
+def _frame_jit(scene, settings, cam_params, key, cam_cls, width, height,
+               backend, use_jitter):
+    """Raygen + wavefront trace fused in ONE jit: per-ray data never crosses
+    the host link (the split raygen->device_put->trace path moved ~16 MB per
+    1080p frame through the TPU tunnel — several times the trace itself)."""
+    if use_jitter:
+        jitter = jax.random.uniform(key, (width * height, 2), F32)
+    else:
+        jitter = None
+    origins, dirs = cam_cls.device_rays(cam_params, width, height, settings,
+                                        xp=jnp, jitter=jitter)
+    color, hitpos, nrays = trace_rays(scene, settings, origins, dirs,
+                                      backend=backend)
+    return color, hitpos, origins, dirs, nrays
+
+
 def tonemap(image):
     """Post-pass gamma (pow(color, 1/2.2), post.frag:35-36)."""
     return jnp.power(jnp.clip(image, 0.0, None), F32(1.0 / 2.2))
@@ -89,6 +107,51 @@ def _render_banded(scene, camera, width, height, settings, backend, spp,
     }
 
 
+def _render_with_sharding(scene, camera, width, height, settings, backend,
+                          spp, seed, out_sharding):
+    """Split raygen + device_put path for explicitly sharded ray batches."""
+    origins, dirs = generate_rays(camera, width, height, settings)
+    origins = jax.device_put(origins, out_sharding)
+    dirs = jax.device_put(dirs, out_sharding)
+
+    if spp <= 1:
+        color, hitpos, nrays = _trace_jit(scene, settings, origins, dirs,
+                                          backend)
+    else:
+        rng = np.random.default_rng(seed)
+        acc = hitpos = None
+        nrays = 0.0
+        for s in range(spp):
+            if s == 0:
+                jitter = None  # center sample also provides hit/ray dumps
+            else:
+                jitter = jax.device_put(
+                    jnp.asarray(rng.random((width * height, 2),
+                                           dtype=np.float32)), out_sharding)
+            o, d = generate_rays(camera, width, height, settings,
+                                 jitter=jitter)
+            if jitter is not None:
+                o = jax.device_put(o, out_sharding)
+                d = jax.device_put(d, out_sharding)
+            else:
+                o, d = origins, dirs
+            c, hp, nr = _trace_jit(scene, settings, o, d, backend)
+            acc = c if acc is None else acc + c
+            nrays = nrays + nr
+            if s == 0:
+                hitpos = hp
+        color = acc / F32(spp)
+
+    shape = (height, width, 3)
+    return {
+        "image": color.reshape(shape),
+        "hit_position": hitpos.reshape(shape),
+        "ray_origin": origins.reshape(shape),
+        "ray_dir": dirs.reshape(shape),
+        "rays_traced": nrays,
+    }
+
+
 def render(
     scene: Scene,
     camera,
@@ -122,35 +185,31 @@ def render(
         return _render_banded(scene, camera, width, height, settings,
                               backend, spp, seed, out_sharding, tile_rows)
 
-    origins, dirs = generate_rays(camera, width, height, settings)
     if out_sharding is not None:
-        origins = jax.device_put(origins, out_sharding)
-        dirs = jax.device_put(dirs, out_sharding)
+        # explicit data-parallel placement: keep the split raygen path so
+        # the ray batch lands with the requested sharding
+        return _render_with_sharding(scene, camera, width, height, settings,
+                                     backend, spp, seed, out_sharding)
 
+    cam_params = camera.ray_params(width, height, settings)
+    cam_cls = type(camera)
+    key = jax.random.PRNGKey(seed)
     if spp <= 1:
-        color, hitpos, nrays = _trace_jit(scene, settings, origins, dirs, backend)
+        color, hitpos, origins, dirs, nrays = _frame_jit(
+            scene, settings, cam_params, key, cam_cls, width, height,
+            backend, False)
     else:
-        rng = np.random.default_rng(seed)
-        acc = None
-        hitpos = None
+        acc = hitpos = origins = dirs = None
         nrays = 0.0
         for s in range(spp):
-            if s == 0:
-                jitter = None  # center sample also provides hit/ray dumps
-            else:
-                jitter = jnp.asarray(
-                    rng.random((width * height, 2), dtype=np.float32))
-                if out_sharding is not None:
-                    jitter = jax.device_put(jitter, out_sharding)
-            o, d = generate_rays(camera, width, height, settings, jitter=jitter)
-            if out_sharding is not None:
-                o = jax.device_put(o, out_sharding)
-                d = jax.device_put(d, out_sharding)
-            c, hp, nr = _trace_jit(scene, settings, o, d, backend)
+            # center sample first (also provides the hit/ray dumps)
+            c, hp, o, d, nr = _frame_jit(
+                scene, settings, cam_params, jax.random.fold_in(key, s),
+                cam_cls, width, height, backend, s > 0)
             acc = c if acc is None else acc + c
             nrays = nrays + nr
             if s == 0:
-                hitpos = hp
+                hitpos, origins, dirs = hp, o, d
         color = acc / F32(spp)
 
     shape = (height, width, 3)
