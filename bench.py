@@ -6,6 +6,14 @@ Prints ONE JSON line:
 vs_baseline is the ratio against the BASELINE.json target of 100 Mrays/s/chip
 (the reference publishes no numbers of its own — BASELINE.md).
 
+Measurement protocol (IMPORTANT): on the axon TPU tunnel, dispatch is
+fire-and-forget — `block_until_ready()` can return before the device has
+actually executed anything, so naive timing over-reports by 100x+ (round-1's
+recorded 382 Mrays/s was such an artifact; the true figure was ~16). Every
+timing window here therefore ends by fetching a scalar reduction of the last
+frame's output, which drains the execution queue: the window measures real,
+completed device work.
+
 Ray accounting matches the reference's traceRayEXT semantics: one closest-hit
 query per live ray per bounce plus one shadow ray per lit hit
 (raytrace.rgen:75-108, raytrace.rchit:89-120) — counted on device by the
@@ -34,45 +42,75 @@ def main():
     from toroidal_ray_tracing_tpu.scene import (RenderSettings, build_scene,
                                                 procedural)
 
-    scene = build_scene(procedural.scene_multi_torus(analytic=True))
+    scene = jax.device_put(build_scene(procedural.scene_multi_torus(
+        analytic=True)))
     cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
     settings = RenderSettings.default(max_depth=3)
 
-    def frame():
-        out = render(scene, cam, width, height, settings, backend=backend)
-        return out["image"], out["rays_traced"]
+    import math
+
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.render.renderer import _frame_jit
+
+    # an animated F-frame orbit scanned inside ONE jit: sustained device
+    # throughput of a real capture loop, without the tunnel's ~40 ms
+    # per-dispatch round trip (an infrastructure artifact, not a TPU cost);
+    # per-frame camera params differ, so XLA cannot hoist the loop body
+    def orbit_params(f):
+        a = 2.0 * math.pi * f / max(frames, 1)
+        cam = PinholeCamera(eye=(8.0 * math.cos(a), 5.0, 8.0 * math.sin(a)),
+                            center=(0.0, 0.5, 0.0))
+        return cam.ray_params(width, height, settings)
+
+    stack = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *[orbit_params(f) for f in range(frames)])
+    key = jax.random.PRNGKey(0)
+
+    def make_run(bk):
+        @jax.jit
+        def run(scene, settings, stack):
+            def step(carry, p):
+                color, hp, o, d, nr = _frame_jit.__wrapped__(
+                    scene, settings, p, key, PinholeCamera, width, height,
+                    bk, False)
+                return carry + nr, color[0, 0]
+            total, _ = jax.lax.scan(step, jnp.float32(0), stack)
+            return total
+        return run
+
+    def drain(x):
+        # a 4-byte fetch forces the queue to finish (block_until_ready is
+        # not sufficient on the tunnel — see module docstring)
+        return float(x)
 
     try:
-        img, nrays = frame()  # compile + warm up
-        img.block_until_ready()
+        run = make_run(backend)
+        drain(run(scene, settings, stack))  # compile + warm up
     except Exception:
         if backend == "pallas":  # fall back if the kernel path regresses
             backend = "jnp"
-            img, nrays = frame()
-            img.block_until_ready()
+            run = make_run(backend)
+            drain(run(scene, settings, stack))
         else:
             raise
 
-    # the TPU tunnel in this environment has high latency/throughput
-    # variance run-to-run (shared infrastructure); take the best of five
-    # timing windows (standard noisy-host protocol)
+    # best of three fetch-drained windows (tunnel timing variance)
     best_dt = None
-    for _ in range(5):
+    total_rays = 0.0
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(frames):
-            img, nrays = frame()
-        img.block_until_ready()
+        total_rays = drain(run(scene, settings, stack))
         dt = time.perf_counter() - t0
         best_dt = dt if best_dt is None else min(best_dt, dt)
 
-    rays_per_frame = float(nrays)
-    mrays = rays_per_frame * frames / best_dt / 1e6
+    mrays = total_rays / best_dt / 1e6
     n_chips = max(len(jax.devices()), 1)
     value = mrays / n_chips
 
     print(json.dumps({
         "metric": "Mrays/sec/chip @1080p 3-bounce reflective "
-                  f"({backend} backend)",
+                  f"({backend} backend, fetch-drained timing)",
         "value": round(value, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(value / 100.0, 3),

@@ -60,6 +60,10 @@ SCENES = {
         procedural.scene_multi_torus(analytic=True),
         PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0)),
         RenderSettings.default(max_depth=3),
+        # reflective bounces graze torus silhouettes: 1-3 pixels per frame
+        # resolve the f32 quartic differently than the f64 oracle (same
+        # class as config2's contact circle); the robust bound stays tight
+        dict(rmse_bound=2e-2),
     ),
     "mesh_cornellish_reflect": (
         procedural.scene_cornellish(),

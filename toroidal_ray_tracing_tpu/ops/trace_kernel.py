@@ -48,11 +48,12 @@ TMIN = F32(0.001)
 RAY_TILE = 2048      # rays per grid step (triangle kernel; lane axis) —
                      # swept on v5e: 2048 is ~2.4x faster than 256 (fewer
                      # grid steps, wider VPU rows); 4096 exceeds VMEM
-TORUS_RAY_TILE = 512  # rays per grid step (torus kernel; the quartic DAG is
-                      # ~400 SSA values deep — 64-sublane x 512-lane pair
-                      # tiles keep the Mosaic scoped-vmem stack in budget;
-                      # 2048 fails to compile)
-TORUS_TILE = 64       # tori per tile (sublane axis)
+TORUS_RAY_TILE = 1024  # rays per grid step (torus kernel; the quartic DAG is
+                       # ~400 SSA values deep — 64-sublane x 1024-lane pair
+                       # tiles keep the Mosaic scoped-vmem stack in budget;
+                       # 64 x 2048 fails to compile)
+TORUS_TILE = 64        # max tori per tile (sublane axis; adapts down to a
+                       # multiple of 8 for small torus counts)
 
 _DN0 = (((0,), (0,)), ((), ()))  # contract dim 0 of both operands
 
@@ -82,14 +83,24 @@ def _inv_dir(dc):
 
 
 def _tri_kernel(clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
-                woop_o_ref, woop_d_ref,
-                t_out, idx_out, u_out, v_out, *, cluster: int):
+                woop_o_ref, woop_d_ref, *refs,
+                cluster: int, emit_attrs: bool):
     """One grid step = one ray tile vs all triangles (cluster-culled).
 
     o/d: (4, R) homogeneous origins ([o,1]^T) and dirs ([d,0]^T).
     woop_o/woop_d: (3, 4, T). clo/chi: (C, 3) cluster AABBs in SMEM.
     outs: (1, R) accumulators.
+
+    With emit_attrs, per-triangle attribute tables a0/a1/a2 ((20,T)/(8,T)/
+    (8,T): [v0,n0,uv0,material...] and the u/v edge deltas) ride along and
+    the kernel emits interpolated shading attributes (20, R) via pick-masked
+    matmuls — XLA row-gathers cost ~1 row/cycle (8+ ms per 2M-ray gather),
+    so gathering 9+ attribute tables in shade() dominated whole frames.
     """
+    if emit_attrs:
+        a0_ref, a1_ref, a2_ref, t_out, idx_out, u_out, v_out, attr_out = refs
+    else:
+        t_out, idx_out, u_out, v_out = refs
     R = o_ref.shape[1]
     T = woop_o_ref.shape[2]
     n_clusters = T // cluster
@@ -109,6 +120,10 @@ def _tri_kernel(clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
     idx_out[...] = jnp.zeros((1, R), jnp.int32)
     u_out[...] = jnp.zeros((1, R), F32)
     v_out[...] = jnp.zeros((1, R), F32)
+    if emit_attrs:
+        attr_out[...] = jnp.zeros((20, R), F32)
+
+    any_live = jnp.any(tmax > TMIN)  # dead tiles (tmax=0 bounce cull) skip
 
     def body(j, _):
         base = j * cluster
@@ -174,21 +189,47 @@ def _tri_kernel(clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
             u_out[...] = jnp.where(better, u_sel, u_out[...])
             v_out[...] = jnp.where(better, v_sel, v_out[...])
 
+            if emit_attrs:
+                # interpolated attributes of the winning triangle, selected
+                # on the MXU: attr = A0[p] + u*A1[p] + v*A2[p] with p the
+                # per-ray pick, expressed as (A, C) @ (C, R) matmuls over
+                # the pick mask (K = C: full MXU contraction, unlike the
+                # K=4 Woop dots)
+                pickf = pick.astype(jnp.float32)
+                a0 = a0_ref[:, pl.ds(base, cluster)]     # (20, C)
+                a1 = a1_ref[:, pl.ds(base, cluster)]     # (8, C)
+                a2 = a2_ref[:, pl.ds(base, cluster)]     # (8, C)
+                n0 = jnp.dot(a0, pickf, precision=hp,
+                             preferred_element_type=jnp.float32)
+                n1 = jnp.dot(a1, pickf * jnp.where(pick, u, 0.0),
+                             precision=hp,
+                             preferred_element_type=jnp.float32)
+                n2 = jnp.dot(a2, pickf * jnp.where(pick, v, 0.0),
+                             precision=hp,
+                             preferred_element_type=jnp.float32)
+                new = jnp.concatenate([n0[0:8] + n1 + n2, n0[8:20]], axis=0)
+                attr_out[...] = jnp.where(better, new, attr_out[...])
+
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, body, 0)
+    @pl.when(any_live)
+    def _():
+        jax.lax.fori_loop(0, n_clusters, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cluster", "ray_tile"))
 def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
                            cluster_lo, cluster_hi, cluster: int,
-                           ray_tile: int = RAY_TILE):
+                           ray_tile: int = RAY_TILE, attr_tables=None):
     """origins/dirs: (N, 3); woop_o: (3, 4, T); woop_d: (3, 3, T);
-    cluster_*: (C, 3). N must be a multiple of ray_tile."""
+    cluster_*: (C, 3). N must be a multiple of ray_tile. attr_tables:
+    optional ((20,T), (8,T), (8,T)) shading-attribute tables — when given,
+    a fifth (20, N) output carries the winner's interpolated attributes."""
     n = origins.shape[0]
     T = woop_o.shape[2]
     assert n % ray_tile == 0, n
     nt = n // ray_tile
+    emit_attrs = attr_tables is not None
 
     oh, d4, tm = _rays_to_rows(origins, dirs, tmax)
     # pad woop_d input dim 3 -> 4 so both matmuls share the (4, R) operand
@@ -201,20 +242,34 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    t, idx, u, v = pl.pallas_call(
-        functools.partial(_tri_kernel, cluster=cluster),
+    in_specs = [smem, smem, ray_spec, ray_spec, row_spec, full, full]
+    operands = [cluster_lo, cluster_hi, oh, d4, tm, woop_o, wd4]
+    out_specs = [row_spec, row_spec, row_spec, row_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, n), F32),
+        jax.ShapeDtypeStruct((1, n), jnp.int32),
+        jax.ShapeDtypeStruct((1, n), F32),
+        jax.ShapeDtypeStruct((1, n), F32),
+    ]
+    if emit_attrs:
+        in_specs += [full, full, full]
+        operands += list(attr_tables)
+        out_specs.append(pl.BlockSpec((20, ray_tile), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((20, n), F32))
+
+    out = pl.pallas_call(
+        functools.partial(_tri_kernel, cluster=cluster,
+                          emit_attrs=emit_attrs),
         grid=(nt,),
-        in_specs=[smem, smem, ray_spec, ray_spec, row_spec, full, full],
-        out_specs=[row_spec, row_spec, row_spec, row_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n), F32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((1, n), F32),
-            jax.ShapeDtypeStruct((1, n), F32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(cluster_lo, cluster_hi, oh, d4, tm, woop_o, wd4)
-    return t.reshape(n), idx.reshape(n), u.reshape(n), v.reshape(n)
+    )(*operands)
+    t, idx, u, v = out[:4]
+    res = (t.reshape(n), idx.reshape(n), u.reshape(n), v.reshape(n))
+    return res + ((out[4],) if emit_attrs else ())
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +278,7 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
 
 
 def _torus_kernel(o_ref, d_ref, tmax_ref, w2o_ref, rad_ref, sph_ref,
-                  t_out, idx_out, *, torus_tile: int):
+                  *refs, torus_tile: int, emit_attrs: bool):
     """One (ray tile, torus tile) pair per grid step.
 
     Per-torus fields are natural (Kt, 1) column slices; per-ray data is
@@ -233,7 +288,16 @@ def _torus_kernel(o_ref, d_ref, tmax_ref, w2o_ref, rad_ref, sph_ref,
     w2o: (K, 12) — rows of the 3x4 world->object transform per torus.
     rad: (K, 2)  — [major, minor] (minor < 0 => padding, never hits).
     sph: (K, 4)  — world bounding sphere [cx, cy, cz, radius].
+
+    With emit_attrs, a per-torus material table mat_ref (Kt, 12) rides
+    along and a (15, R) output carries the winner's world-space normal
+    (rows 0-2, unnormalized) + material fields (rows 3-14) — computed
+    in-kernel so shade() needs no per-ray gathers.
     """
+    if emit_attrs:
+        mat_ref, t_out, idx_out, attr_out = refs
+    else:
+        t_out, idx_out = refs
     R = o_ref.shape[1]
     j = pl.program_id(1)
     base = j * torus_tile
@@ -249,24 +313,10 @@ def _torus_kernel(o_ref, d_ref, tmax_ref, w2o_ref, rad_ref, sph_ref,
     def _():
         t_out[...] = jnp.full((1, R), BIG, F32)
         idx_out[...] = jnp.zeros((1, R), jnp.int32)
+        if emit_attrs:
+            attr_out[...] = jnp.zeros((15, R), F32)
 
-    sph = sph_ref[...]                            # (Kt, 4)
-    cx, cy, cz, cr = (sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4])
-
-    # ray/sphere prepass: |cross(c-o, d)|^2 <= r^2 |d|^2, not behind
-    mx, my, mz = cx - ox, cy - oy, cz - oz        # (Kt, R)
-    qx = my * dz - mz * dy
-    qy = mz * dx - mx * dz
-    qz = mx * dy - my * dx
-    d2 = dx * dx + dy * dy + dz * dz
-    near = qx * qx + qy * qy + qz * qz <= cr * cr * d2
-    proj = mx * dx + my * dy + mz * dz
-    m2 = mx * mx + my * my + mz * mz
-    ahead = (proj >= 0.0) | (m2 <= cr * cr)
-    cand = near & ahead & (tmax > TMIN)           # (Kt, R)
-
-    @pl.when(jnp.any(cand))
-    def _():
+    def _quartic(cand):
         w = w2o_ref[...]                          # (Kt, 12)
 
         def col(i):
@@ -319,14 +369,68 @@ def _torus_kernel(o_ref, d_ref, tmax_ref, w2o_ref, rad_ref, sph_ref,
         t_out[...] = jnp.where(better, t_tile, t_out[...])
         idx_out[...] = jnp.where(better, base + arg, idx_out[...])
 
+        if emit_attrs:
+            hitm = t < BIG
+            pick = (rows == arg) & hitm
+            pickf = pick.astype(jnp.float32)
+            # object-space hit point (shifted frame: p* + troot * d)
+            ts = jnp.where(hitm, troot, 0.0)     # sanitize BIG (0*inf NaN)
+            pxh = px + ts * dxo
+            pyh = py + ts * dyo
+            pzh = pz + ts * dzo
+            # torus normal: p - R * normalize((x, 0, z))
+            # (geom/torus.py torus_normal, inlined component-wise)
+            xz = jnp.sqrt(jnp.maximum(pxh * pxh + pzh * pzh, F32(1e-30)))
+            scale = F32(1.0) - Rmaj / xz
+            nx, ny, nz = pxh * scale, pyh, pzh * scale
+            # world normal = inverse-transpose: rows of w2o's rotation
+            nwx = nx * col(0) + ny * col(4) + nz * col(8)
+            nwy = nx * col(1) + ny * col(5) + nz * col(9)
+            nwz = nx * col(2) + ny * col(6) + nz * col(10)
+            nrm = jnp.concatenate([
+                jnp.sum(pickf * nwx, axis=0, keepdims=True),
+                jnp.sum(pickf * nwy, axis=0, keepdims=True),
+                jnp.sum(pickf * nwz, axis=0, keepdims=True)], axis=0)
+            mat = jax.lax.dot_general(
+                mat_ref[...], pickf, _DN0,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)   # (12, R)
+            new = jnp.concatenate([nrm, mat], axis=0)
+            attr_out[...] = jnp.where(better, new, attr_out[...])
+
+    @pl.when(jnp.any(tmax > TMIN))  # dead tiles (tmax=0 bounce cull) skip
+    def _run():
+        sph = sph_ref[...]                        # (Kt, 4)
+        cx, cy, cz, cr = (sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4])
+
+        # ray/sphere prepass: |cross(c-o, d)|^2 <= r^2 |d|^2, not behind
+        mx, my, mz = cx - ox, cy - oy, cz - oz    # (Kt, R)
+        qx = my * dz - mz * dy
+        qy = mz * dx - mx * dz
+        qz = mx * dy - my * dx
+        d2 = dx * dx + dy * dy + dz * dz
+        near = qx * qx + qy * qy + qz * qz <= cr * cr * d2
+        proj = mx * dx + my * dy + mz * dz
+        m2 = mx * mx + my * my + mz * mz
+        ahead = (proj >= 0.0) | (m2 <= cr * cr)
+        cand = near & ahead & (tmax > TMIN)       # (Kt, R)
+
+        @pl.when(jnp.any(cand))
+        def _():
+            _quartic(cand)
+
 
 @functools.partial(jax.jit, static_argnames=("torus_tile", "ray_tile"))
 def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
                              center, bound, torus_tile: int = TORUS_TILE,
-                             ray_tile: int = TORUS_RAY_TILE):
+                             ray_tile: int = TORUS_RAY_TILE,
+                             mat_table=None):
     n = origins.shape[0]
     K = major.shape[0]
     assert n % ray_tile == 0
+    # adapt the tile down for small torus counts (a 4-torus scene shouldn't
+    # evaluate a 64-wide quartic tile per ray tile)
+    torus_tile = min(torus_tile, ((K + 7) // 8) * 8)
     Kp = ((K + torus_tile - 1) // torus_tile) * torus_tile
 
     oh, d4, tm = _rays_to_rows(origins, dirs, tmax)
@@ -360,19 +464,37 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     tor_spec = lambda w: pl.BlockSpec(  # noqa: E731
         (torus_tile, w), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
 
-    t, idx = pl.pallas_call(
-        functools.partial(_torus_kernel, torus_tile=torus_tile),
+    emit_attrs = mat_table is not None
+    in_specs = [ray_spec, ray_spec, row_spec,
+                tor_spec(12), tor_spec(2), tor_spec(4)]
+    operands = [oh, d4, tm, w2o_rows, rad, sph]
+    out_specs = [row_spec, row_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, n), F32),
+        jax.ShapeDtypeStruct((1, n), jnp.int32),
+    ]
+    if emit_attrs:
+        mt = jnp.asarray(mat_table)                 # (K, 12)
+        if Kp != K:
+            mt = jnp.concatenate(
+                [mt, jnp.zeros((Kp - K, 12), F32)], axis=0)
+        in_specs.append(tor_spec(12))
+        operands.append(mt)
+        out_specs.append(pl.BlockSpec((15, ray_tile), lambda i, j: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((15, n), F32))
+
+    out = pl.pallas_call(
+        functools.partial(_torus_kernel, torus_tile=torus_tile,
+                          emit_attrs=emit_attrs),
         grid=(nt, n_torus_tiles),
-        in_specs=[ray_spec, ray_spec, row_spec,
-                  tor_spec(12), tor_spec(2), tor_spec(4)],
-        out_specs=[row_spec, row_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n), F32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(oh, d4, tm, w2o_rows, rad, sph)
-    return t.reshape(n), idx.reshape(n)
+    )(*operands)
+    res = (out[0].reshape(n), out[1].reshape(n))
+    return res + ((out[2],) if emit_attrs else ())
 
 
 # ---------------------------------------------------------------------------
@@ -380,9 +502,51 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
 # ---------------------------------------------------------------------------
 
 
-def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax):
+def _material_rows(scene: Scene, mat_id):
+    """Per-primitive baked material table (P, 12):
+    [ambient(3), diffuse(3), specular(3), shininess, illum, texture_id]."""
+    mats = scene.materials
+    return jnp.concatenate([
+        jnp.asarray(mats.ambient)[mat_id],
+        jnp.asarray(mats.diffuse)[mat_id],
+        jnp.asarray(mats.specular)[mat_id],
+        jnp.asarray(mats.shininess)[mat_id][:, None],
+        jnp.asarray(mats.illum)[mat_id].astype(F32)[:, None],
+        jnp.asarray(mats.texture_id)[mat_id].astype(F32)[:, None],
+    ], axis=1)
+
+
+def _tri_attr_tables(scene: Scene, geom):
+    """((20,Tl), (8,Tl), (8,Tl)) interpolation tables for the geometry
+    slice: attr = A0[p] + u*A1[p] + v*A2[p]. Rows 0-7 are [pos, nrm, uv];
+    rows 8-19 the baked material."""
+    tris = scene.triangles
+    a0 = jnp.concatenate([
+        jnp.asarray(tris.v0), jnp.asarray(tris.n0), jnp.asarray(tris.uv0),
+        _material_rows(scene, jnp.asarray(tris.mat_id)),
+    ], axis=1).T
+    a1 = jnp.concatenate([
+        jnp.asarray(tris.e1),
+        jnp.asarray(tris.n1) - jnp.asarray(tris.n0),
+        jnp.asarray(tris.uv1) - jnp.asarray(tris.uv0)], axis=1).T
+    a2 = jnp.concatenate([
+        jnp.asarray(tris.e2),
+        jnp.asarray(tris.n2) - jnp.asarray(tris.n0),
+        jnp.asarray(tris.uv2) - jnp.asarray(tris.uv0)], axis=1).T
+    t_local = geom.woop_o.shape[2]
+    if t_local != tris.count:
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+            a, geom.tri_offset, t_local, axis=1)
+        a0, a1, a2 = sl(a0), sl(a1), sl(a2)
+    return a0, a1, a2
+
+
+def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
+                       want_attrs: bool = False):
     """Fused closest-hit over the geometry slice. Pads the ray batch to the
-    kernel tile and combines triangle + torus results."""
+    kernel tile and combines triangle + torus results. With want_attrs the
+    kernels also emit the winner's interpolated shading attributes
+    (Hit.attrs), eliminating shade()'s per-ray table gathers."""
     n = origins.shape[0]
     pad = (-n) % RAY_TILE
     if pad:
@@ -401,6 +565,7 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax):
     prim = jnp.zeros((np_,), jnp.int32)
     u = jnp.zeros((np_,), F32)
     v = jnp.zeros((np_,), F32)
+    tri_attr = tor_attr = None
 
     if has_tris:
         T_local = geom.woop_o.shape[2]
@@ -416,8 +581,13 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax):
             cs = T_local
             clo = jnp.full((1, 3), -3e38, F32)
             chi = jnp.full((1, 3), 3e38, F32)
-        tt, ti, tu, tv = tri_closest_hit_pallas(
-            origins, dirs, tmax, geom.woop_o, geom.woop_d, clo, chi, cs)
+        tables = _tri_attr_tables(scene, geom) if want_attrs else None
+        out = tri_closest_hit_pallas(
+            origins, dirs, tmax, geom.woop_o, geom.woop_d, clo, chi, cs,
+            attr_tables=tables)
+        tt, ti, tu, tv = out[:4]
+        if want_attrs:
+            tri_attr = out[4]                        # (20, Np)
         better = tt < t_best
         t_best = jnp.where(better, tt, t_best)
         kind = jnp.where(better, 0, kind)
@@ -426,14 +596,52 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax):
         v = jnp.where(better, tv, v)
 
     if has_tori:
-        kt, ki = torus_closest_hit_pallas(
+        if want_attrs:
+            mat_table = _material_rows(
+                scene, jnp.asarray(scene.tori.mat_id))
+            k_local = geom.tor_major.shape[0]
+            if k_local != scene.tori.count:
+                mat_table = jax.lax.dynamic_slice_in_dim(
+                    mat_table, geom.tor_offset, k_local, axis=0)
+        else:
+            mat_table = None
+        out = torus_closest_hit_pallas(
             origins, dirs, tmax, geom.tor_w2o, geom.tor_major,
-            geom.tor_minor, geom.tor_center, geom.tor_bound)
+            geom.tor_minor, geom.tor_center, geom.tor_bound,
+            mat_table=mat_table)
+        kt, ki = out[:2]
+        if want_attrs:
+            tor_attr = out[2]                        # (15, Np)
         better = kt < t_best
         t_best = jnp.where(better, kt, t_best)
         kind = jnp.where(better, 1, kind)
         prim = jnp.where(better, ki + geom.tor_offset, prim)
 
     sl = lambda x: x[:n]  # noqa: E731
+    attrs = None
+    if want_attrs:
+        is_tor = (kind == 1)[None, :]
+        if tri_attr is None:
+            tri_attr = jnp.zeros((20, np_), F32)
+        if tor_attr is None:
+            tor_attr = jnp.zeros((15, np_), F32)
+        # torus world position = o + t d (computed in shade); the pos rows
+        # carry the triangle's barycentric-exact position only
+        nrm = jnp.where(is_tor, tor_attr[0:3], tri_attr[3:6])
+        mat = jnp.where(is_tor, tor_attr[3:15], tri_attr[8:20])
+        row = lambda m, i: sl(m[i])  # noqa: E731
+        stack3 = lambda m, i: jnp.stack(  # noqa: E731
+            [row(m, i), row(m, i + 1), row(m, i + 2)], axis=1)
+        attrs = _isect.ShadeAttrs(
+            pos=stack3(tri_attr, 0),
+            nrm=stack3(nrm, 0),
+            uv=jnp.stack([row(tri_attr, 6), row(tri_attr, 7)], axis=1),
+            ambient=stack3(mat, 0),
+            diffuse=stack3(mat, 3),
+            specular=stack3(mat, 6),
+            shininess=row(mat, 9),
+            illum=jnp.round(row(mat, 10)).astype(jnp.int32),
+            texture_id=jnp.round(row(mat, 11)).astype(jnp.int32),
+        )
     return _isect.Hit(t=sl(t_best), kind=sl(kind), prim=sl(prim),
-                      u=sl(u), v=sl(v))
+                      u=sl(u), v=sl(v), attrs=attrs)

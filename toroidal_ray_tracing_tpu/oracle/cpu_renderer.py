@@ -115,15 +115,18 @@ def _shade(scene: Scene, settings: RenderSettings, origins, dirs, hit):
     ray_hit_pos = origins + np.minimum(t, 1.0e8)[:, None] * dirs
 
     # --- triangle attributes (interpolated) ---
+    # clamp: `prim` is a torus index on torus-hit lanes and may exceed the
+    # (tightly padded) triangle count; those lanes are masked by kind below
+    tp = np.minimum(prim, tris.v0.shape[0] - 1)
     w = 1.0 - hit["u"] - hit["v"]
     bary = np.stack([w, hit["u"], hit["v"]], axis=-1)[:, :, None]
-    tri_pos = (np.stack([tris.v0[prim], tris.v0[prim] + tris.e1[prim],
-                         tris.v0[prim] + tris.e2[prim]], axis=1) * bary).sum(axis=1)
-    tri_nrm = (np.stack([tris.n0[prim], tris.n1[prim], tris.n2[prim]], axis=1)
+    tri_pos = (np.stack([tris.v0[tp], tris.v0[tp] + tris.e1[tp],
+                         tris.v0[tp] + tris.e2[tp]], axis=1) * bary).sum(axis=1)
+    tri_nrm = (np.stack([tris.n0[tp], tris.n1[tp], tris.n2[tp]], axis=1)
                * bary).sum(axis=1)
-    tri_uv = (np.stack([tris.uv0[prim], tris.uv1[prim], tris.uv2[prim]], axis=1)
+    tri_uv = (np.stack([tris.uv0[tp], tris.uv1[tp], tris.uv2[tp]], axis=1)
               * bary).sum(axis=1)
-    tri_mat = tris.mat_id[prim]
+    tri_mat = tris.mat_id[tp]
 
     # --- torus attributes ---
     k = np.minimum(prim, tor.world_to_obj.shape[0] - 1)

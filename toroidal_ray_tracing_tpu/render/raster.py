@@ -12,9 +12,11 @@ Brute-force pixels x triangles, chunked over triangles (it is a debug view,
 not the hot path; the analytic tori have no raster analog, matching the
 reference whose raster path also draws only the OBJ meshes).
 
-Limitation: no near-plane clipping — a triangle with any vertex behind the
-camera is culled rather than clipped (the reference gets clipping from the
-hardware rasterizer). Keep debug cameras outside the geometry.
+Near-plane clipping: triangles crossing the z_clip = 0 plane are clipped in
+homogeneous clip space into up to two sub-triangles (the fixed-function
+behavior of the reference's hardware rasterizer). Each sub-vertex carries
+its barycentric coordinates in the ORIGINAL triangle, so attribute
+interpolation is exact across the clip.
 """
 
 from __future__ import annotations
@@ -31,6 +33,68 @@ F32 = np.float32
 _TRI_CHUNK = 512
 
 
+def _near_clip(c, bary, valid):
+    """Clip triangles against the near plane (z_clip >= 0, Vulkan [0,1] depth).
+
+    c: (T, 3, 4) clip-space vertices; bary: (T, 3, 3) original-triangle
+    barycentrics per vertex; valid: (T,).
+    Returns (c2, bary2, valid2) with a 2T sub-triangle axis: canonical
+    rotation puts the pattern in one of {all-in, one-in, two-in, none};
+    one-in yields one sub-triangle, two-in yields two (the clipped quad).
+    """
+    d = c[:, :, 2]                          # (T, 3) signed near distances
+    inside = d >= 0.0
+    k = inside.sum(axis=1)                  # (T,)
+
+    # canonical rotation r: k==1 -> the inside vertex lands at slot 0;
+    # k==2 -> the outside vertex lands at slot 2 (i.e. slot0/1 inside)
+    i0, i1, i2 = inside[:, 0], inside[:, 1], inside[:, 2]
+    r1 = jnp.where(i0, 0, jnp.where(i1, 1, 2))
+    r2 = jnp.where(~i2, 0, jnp.where(~i0, 1, 2))
+    r = jnp.where(k == 1, r1, jnp.where(k == 2, r2, 0))
+
+    idx = (r[:, None] + jnp.arange(3)[None, :]) % 3          # (T, 3)
+    cr = jnp.take_along_axis(c, idx[:, :, None], axis=1)     # (T, 3, 4)
+    br = jnp.take_along_axis(bary, idx[:, :, None], axis=1)  # (T, 3, 3)
+    dr = jnp.take_along_axis(d, idx, axis=1)                 # (T, 3)
+
+    A, B, C = cr[:, 0], cr[:, 1], cr[:, 2]
+    bA, bB, bC = br[:, 0], br[:, 1], br[:, 2]
+    dA, dB, dC = dr[:, 0:1], dr[:, 1:2], dr[:, 2:3]
+
+    def lerp_at(P, Q, bP, bQ, dP, dQ):
+        denom = dP - dQ
+        s = dP / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        s = jnp.clip(s, 0.0, 1.0)
+        return P + s * (Q - P), bP + s * (bQ - bP)
+
+    PAB, bPAB = lerp_at(A, B, bA, bB, dA, dB)   # on edge A->B
+    PBC, bPBC = lerp_at(B, C, bB, bC, dB, dC)
+    PCA, bPCA = lerp_at(C, A, bC, bA, dC, dA)
+
+    k1 = (k == 1)[:, None]
+    k2 = (k == 2)[:, None]
+    k3 = (k == 3)[:, None]
+
+    def pick(all3, two, one):
+        return jnp.where(k3, all3, jnp.where(k2, two, jnp.where(k1, one, 0.0)))
+
+    # sub-triangle 1: all-in -> (A,B,C); two-in -> (A,B,PBC);
+    # one-in -> (A,PAB,PCA)
+    t1 = jnp.stack([pick(A, A, A), pick(B, B, PAB), pick(C, PBC, PCA)], axis=1)
+    b1 = jnp.stack([pick(bA, bA, bA), pick(bB, bB, bPAB),
+                    pick(bC, bPBC, bPCA)], axis=1)
+    v1_ok = valid & (k >= 1)
+    # sub-triangle 2: only for two-in -> (A, PBC, PCA)
+    t2 = jnp.stack([A, PBC, PCA], axis=1)
+    b2 = jnp.stack([bA, bPBC, bPCA], axis=1)
+    v2_ok = valid & (k == 2)
+
+    return (jnp.concatenate([t1, t2], axis=0),
+            jnp.concatenate([b1, b2], axis=0),
+            jnp.concatenate([v1_ok, v2_ok], axis=0))
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def _raster_jit(scene: Scene, settings: RenderSettings, viewproj, width, height):
     tris = scene.triangles
@@ -44,24 +108,33 @@ def _raster_jit(scene: Scene, settings: RenderSettings, viewproj, width, height)
     px = xs.reshape(-1) + F32(0.5)
     py = ys.reshape(-1) + F32(0.5)
 
-    def project(p):
+    def to_clip(p):
         ph = jnp.concatenate([p, jnp.ones((p.shape[0], 1), F32)], axis=1)
-        clip = jnp.einsum("ni,ji->nj", ph, viewproj, precision="highest")
-        w = clip[:, 3]
+        return jnp.einsum("ni,ji->nj", ph, viewproj, precision="highest")
+
+    clip = jnp.stack([to_clip(tris.v0), to_clip(tris.v0 + tris.e1),
+                      to_clip(tris.v0 + tris.e2)], axis=1)      # (T, 3, 4)
+    bary0 = jnp.broadcast_to(jnp.eye(3, dtype=F32)[None], (T, 3, 3))
+    clip2, bary2, sub_ok = _near_clip(clip, bary0, jnp.asarray(tris.valid))
+    sub_orig = jnp.concatenate([jnp.arange(T, dtype=jnp.int32)] * 2)
+
+    def project(cl):
+        w = cl[:, 3]
         ok = w > F32(1e-6)
         inv_w = jnp.where(ok, F32(1.0) / jnp.where(ok, w, F32(1.0)), F32(0.0))
-        ndc = clip[:, :3] * inv_w[:, None]
+        ndc = cl[:, :3] * inv_w[:, None]
         sx = (ndc[:, 0] + F32(1.0)) * F32(0.5) * width
         sy = (ndc[:, 1] + F32(1.0)) * F32(0.5) * height
         return sx, sy, ndc[:, 2], inv_w, ok
 
-    v0 = tris.v0
-    v1 = tris.v0 + tris.e1
-    v2 = tris.v0 + tris.e2
-    x0, y0, z0, iw0, ok0 = project(v0)
-    x1, y1, z1, iw1, ok1 = project(v1)
-    x2, y2, z2, iw2, ok2 = project(v2)
-    tri_ok = ok0 & ok1 & ok2 & jnp.asarray(tris.valid)
+    x0, y0, z0, iw0, ok0 = project(clip2[:, 0])
+    x1, y1, z1, iw1, ok1 = project(clip2[:, 1])
+    x2, y2, z2, iw2, ok2 = project(clip2[:, 2])
+    tri_ok = ok0 & ok1 & ok2 & sub_ok
+    # original-triangle barycentrics of each sub-vertex, as 9 flat columns
+    # (a (npx,3,3) gather later would get a T(4,128) 42x-padded layout)
+    bcols = [bary2[:, vi, j] for vi in range(3) for j in range(3)]
+    T = 2 * T
 
     def chunk_body(start, carry):
         zbuf, prim, bu, bv = carry

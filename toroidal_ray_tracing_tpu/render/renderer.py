@@ -15,6 +15,7 @@ pass's gamma (post.frag:35-36) for display.
 from __future__ import annotations
 
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,30 @@ def _frame_jit(scene, settings, cam_params, key, cam_cls, width, height,
 def tonemap(image):
     """Post-pass gamma (pow(color, 1/2.2), post.frag:35-36)."""
     return jnp.power(jnp.clip(image, 0.0, None), F32(1.0 / 2.2))
+
+
+_device_scene_cache: dict = {}
+
+
+def _as_device_scene(scene):
+    """Device-resident view of the scene, cached per scene object.
+
+    Numpy pytree args are re-uploaded on EVERY jit call; over the TPU tunnel
+    (~17 MB/s host link) that re-upload dwarfs the render. Cache the
+    device placement keyed on object identity, evicted when the host scene
+    is garbage collected."""
+    leaves = jax.tree_util.tree_leaves(scene)
+    if all(isinstance(leaf, jax.Array) for leaf in leaves):
+        return scene
+    key = id(scene)
+    hit = _device_scene_cache.get(key)
+    if hit is not None and hit[0]() is scene:
+        return hit[1]
+    dev = jax.device_put(scene)
+    ref = weakref.ref(scene,
+                      lambda _r, k=key: _device_scene_cache.pop(k, None))
+    _device_scene_cache[key] = (ref, dev)
+    return dev
 
 
 def _render_banded(scene, camera, width, height, settings, backend, spp,
@@ -180,6 +205,8 @@ def render(
     """
     if settings is None:
         settings = RenderSettings.default()
+    if out_sharding is None:
+        scene = _as_device_scene(scene)
 
     if tile_rows is not None and tile_rows < height:
         return _render_banded(scene, camera, width, height, settings,

@@ -101,7 +101,9 @@ def build_scene(
 
     cluster_size: triangles per culling cluster; must match the Pallas
     kernel's triangle tile. Padded rows are marked invalid and placed in
-    far-away clusters so they never win the argmin.
+    far-away clusters so they never win the argmin. For scenes smaller than
+    one cluster the size adapts down (multiple of 8) — a 2-triangle ground
+    plane otherwise burns a 256-wide pair tile per ray tile on padding.
     """
     materials_rows: list = []
     textures: list = []
@@ -184,6 +186,10 @@ def build_scene(
             mat_id, inst_ids = mat_id[keep], inst_ids[keep]
 
     n_real = v0.shape[0]
+    # adapt the cluster (= kernel pair-tile) width down for tiny scenes so
+    # the trace doesn't pay for padding rows; multiples of 8 keep Mosaic's
+    # f32 sublane tiling happy
+    cluster_size = min(cluster_size, max(_round_up(n_real, 8), 8))
 
     # --- cluster assignment: native binned-SAH leaves when available, else
     # Morton sort + fixed chunking. `slots` maps padded cluster positions to

@@ -38,12 +38,30 @@ TMAX = F32(10000.0)   # raytrace.rgen:62
 _INT_MAX = np.int32(2147483647)
 
 
+class ShadeAttrs(NamedTuple):
+    """Interpolated shading attributes of the winning primitive, emitted by
+    the Pallas kernels (pick-masked MXU matmuls over the primitive tables in
+    VMEM). XLA row-gathers run ~1 row/cycle on TPU — gathering these 9
+    tables in shade() cost more than the intersection itself."""
+
+    pos: Any         # (N, 3) barycentric-exact position (triangles only)
+    nrm: Any         # (N, 3) unnormalized shading normal (world space)
+    uv: Any          # (N, 2)
+    ambient: Any     # (N, 3)
+    diffuse: Any     # (N, 3)
+    specular: Any    # (N, 3)
+    shininess: Any   # (N,)
+    illum: Any       # (N,) i32
+    texture_id: Any  # (N,) i32
+
+
 class Hit(NamedTuple):
     t: Any       # (N,) f32, BIG on miss
     kind: Any    # (N,) i32: 0 tri, 1 torus, -1 miss
     prim: Any    # (N,) i32 index into triangles or tori (global)
     u: Any       # (N,) f32 triangle barycentric
     v: Any       # (N,) f32
+    attrs: Any = None  # Optional[ShadeAttrs] (pallas backend, want_attrs)
 
 
 class GeomSlice(NamedTuple):
@@ -127,23 +145,35 @@ def combine_hits_over_axis(hit: Hit, axis: str) -> Hit:
     u = jax.lax.pmax(jnp.where(pick, hit.u, -BIG), axis)
     v = jax.lax.pmax(jnp.where(pick, hit.v, -BIG), axis)
     missed = key == _INT_MAX
+    attrs = hit.attrs
+    if attrs is not None:
+        # exactly one shard holds the winner: zero the rest and sum over ICI
+        def merge(a):
+            m = pick if a.ndim == 1 else pick[:, None]
+            zero = jnp.zeros((), a.dtype)
+            return jax.lax.psum(jnp.where(m, a, zero), axis)
+
+        attrs = jax.tree_util.tree_map(merge, attrs)
     return Hit(
         t=t,
         kind=jnp.where(missed, -1, key & 1).astype(jnp.int32),
         prim=jnp.where(missed, 0, key >> 1).astype(jnp.int32),
         u=jnp.where(missed, F32(0.0), u),
         v=jnp.where(missed, F32(0.0), v),
+        attrs=attrs,
     )
 
 
 def closest_hit(scene: Scene, origins, dirs, tmax=None, backend: str = "jnp",
                 geom: Optional[GeomSlice] = None,
-                prim_axis: Optional[str] = None) -> Hit:
+                prim_axis: Optional[str] = None,
+                want_attrs: bool = False) -> Hit:
     """Nearest hit for every ray. origins/dirs: (N, 3) f32.
 
     geom: geometry to test (defaults to the whole scene). prim_axis: mesh
     axis name to combine partial hits over (geom is then this device's
-    shard).
+    shard). want_attrs: emit interpolated ShadeAttrs from the kernels
+    (pallas backend only; the jnp path shades via gathers).
     """
     n = origins.shape[0]
     if tmax is None:
@@ -156,7 +186,8 @@ def closest_hit(scene: Scene, origins, dirs, tmax=None, backend: str = "jnp",
     if backend == "pallas":
         from toroidal_ray_tracing_tpu.ops.trace_kernel import closest_hit_pallas
 
-        hit = closest_hit_pallas(scene, geom, origins, dirs, tmax)
+        hit = closest_hit_pallas(scene, geom, origins, dirs, tmax,
+                                 want_attrs=want_attrs)
     else:
         hit = _closest_hit_jnp(scene, geom, origins, dirs, tmax)
 

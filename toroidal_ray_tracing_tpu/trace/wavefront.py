@@ -78,7 +78,8 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         # them entirely (the live-ray compaction analog for dense batches)
         seg_tmax = jnp.where(state.active, F32(10000.0), F32(0.0))
         hit = closest_hit(scene, state.origin, state.dir, tmax=seg_tmax,
-                          backend=backend, geom=geom, prim_axis=prim_axis)
+                          backend=backend, geom=geom, prim_axis=prim_axis,
+                          want_attrs=backend == "pallas")
         sh = shade(scene, settings, state.origin, state.dir, hit,
                    backend=backend, geom=geom, prim_axis=prim_axis)
 
