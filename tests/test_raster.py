@@ -38,6 +38,37 @@ def test_raster_matches_ray_where_unshadowed():
     assert np.percentile(diff, 95) < 5e-3
 
 
+def test_raster_near_plane_clipping():
+    """Interior camera: a big ground plane extends BEHIND the camera, so its
+    triangles cross the near plane. The old path culled them (empty image);
+    the clipper must keep the front parts and still match the ray tracer on
+    unshadowed pixels (hardware rasterizers clip — fixed-function behavior
+    behind the reference's vert_shader.vert)."""
+    sd = procedural.SceneDef()
+    sd.add_model(procedural.plane(50.0, material=procedural.matte(
+        (0.6, 0.5, 0.4), illum=1, specular=(0, 0, 0))))
+    scene = build_scene(sd)
+    # camera low over the plane's middle, looking slightly down: the plane's
+    # two 50x50 triangles both pierce the near plane
+    cam = PinholeCamera(eye=(0.0, 1.5, 0.0), center=(8.0, 0.0, 0.0))
+    st = RenderSettings.default(max_depth=1, light_type=1,
+                                light_position=(0.0, 1.0, 0.0),
+                                light_intensity=1.0)
+    ray = np.asarray(render(scene, cam, RES, RES, st)["image"])
+    ras = np.asarray(raster_render(scene, cam, RES, RES, st)["image"])
+
+    ray_hit = np.abs(ray - 0.8).max(axis=-1) > 1e-5
+    ras_hit = np.abs(ras - 1.0).max(axis=-1) > 1e-5
+    # the clipped raster must actually draw the plane (the cull-only path
+    # rendered nothing here)
+    assert ras_hit.mean() > 0.3
+    both = ray_hit & ras_hit
+    assert both.mean() > 0.3
+    diff = np.abs(ray - ras).max(axis=-1)[both]
+    assert np.median(diff) < 1e-3
+    assert np.percentile(diff, 95) < 5e-3
+
+
 def test_raster_zbuffer_ordering():
     # nearer geometry must win the z-buffer
     sd = procedural.SceneDef()

@@ -182,6 +182,8 @@ def _raster_jit(scene: Scene, settings: RenderSettings, viewproj, width, height)
     x1, y1, z1, iw1 = padt(x1, 0), padt(y1, 0), padt(z1, 2.0), padt(iw1, 0)
     x2, y2, z2, iw2 = padt(x2, 0), padt(y2, 0), padt(z2, 2.0), padt(iw2, 0)
     tri_ok = padt(tri_ok, False)
+    bcols = [padt(b, 0.0) for b in bcols]
+    sub_orig = padt(sub_orig, 0)
 
     carry = (jnp.full((npx,), F32(1.5)), jnp.zeros((npx,), jnp.int32),
              jnp.zeros((npx,), F32), jnp.zeros((npx,), F32))
@@ -191,21 +193,28 @@ def _raster_jit(scene: Scene, settings: RenderSettings, viewproj, width, height)
     hit = zbuf <= 1.0
     w2b = F32(1.0) - w0b - w1b
 
-    # perspective-correct interpolation weights
+    # perspective-correct interpolation weights (within the sub-triangle)
     pw0 = w0b * iw0[prim]
     pw1 = w1b * iw1[prim]
     pw2 = w2b * iw2[prim]
     denom = jnp.maximum(pw0 + pw1 + pw2, F32(1e-20))
     pw0, pw1, pw2 = pw0 / denom, pw1 / denom, pw2 / denom
 
-    world_pos = (pw0[:, None] * tris.v0[prim]
-                 + pw1[:, None] * (tris.v0 + tris.e1)[prim]
-                 + pw2[:, None] * (tris.v0 + tris.e2)[prim])
-    nrm = (pw0[:, None] * tris.n0[prim] + pw1[:, None] * tris.n1[prim]
-           + pw2[:, None] * tris.n2[prim])
+    # convert to ORIGINAL-triangle barycentrics via the sub-vertex bary
+    # table, then interpolate attributes from the original corners
+    b0 = pw0 * bcols[0][prim] + pw1 * bcols[3][prim] + pw2 * bcols[6][prim]
+    b1 = pw0 * bcols[1][prim] + pw1 * bcols[4][prim] + pw2 * bcols[7][prim]
+    b2 = pw0 * bcols[2][prim] + pw1 * bcols[5][prim] + pw2 * bcols[8][prim]
+    orig = sub_orig[prim]
+
+    world_pos = (b0[:, None] * tris.v0[orig]
+                 + b1[:, None] * (tris.v0 + tris.e1)[orig]
+                 + b2[:, None] * (tris.v0 + tris.e2)[orig])
+    nrm = (b0[:, None] * tris.n0[orig] + b1[:, None] * tris.n1[orig]
+           + b2[:, None] * tris.n2[orig])
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
                             F32(1e-30))
-    mat_id = tris.mat_id[prim]
+    mat_id = tris.mat_id[orig]
 
     # frag_shader.frag:56-99 — computeDiffuse + computeSpecular, no shadows
     light = settings.light
