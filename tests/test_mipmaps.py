@@ -1,0 +1,109 @@
+"""Mipmapped texture sampling (reference: mip generation at upload,
+hello_vulkan.cpp:339, and an always-mipmapped sampler :315-318).
+
+The quality gate is the one VERDICT asks for: a minification scene where
+level-0 bilinear visibly aliases and the mipped path matches a supersampled
+ground truth much more closely.
+"""
+
+import numpy as np
+import pytest
+
+from toroidal_ray_tracing_tpu.cameras import PinholeCamera
+from toroidal_ray_tracing_tpu.oracle import render_oracle
+from toroidal_ray_tracing_tpu.render import render
+from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene, procedural
+from toroidal_ray_tracing_tpu.scene.build import build_texture_atlas, _mip_chain
+
+F32 = np.float32
+
+
+def checkerboard(n=64, cells=16):
+    y, x = np.mgrid[0:n, 0:n]
+    c = (((x * cells // n) + (y * cells // n)) % 2).astype(F32)
+    img = np.stack([c, c, c], axis=-1)
+    return 0.15 + 0.85 * img  # dark/light checker
+
+
+def textured_floor_scene():
+    tex = checkerboard()
+    mesh = procedural.plane(40.0, material=procedural.matte(
+        (1.0, 1.0, 1.0), illum=1, specular=(0, 0, 0), texture_id=0))
+    # tile the checker 40x over the plane
+    mesh.uvs = mesh.uvs * 40.0
+    mesh.textures = [tex]
+    sd = procedural.SceneDef()
+    sd.add_model(mesh)
+    return sd
+
+
+def test_mip_chain_box_filter():
+    img = np.arange(4 * 4 * 3, dtype=F32).reshape(4, 4, 3)
+    chain = _mip_chain(img)
+    assert [c.shape[:2] for c in chain] == [(4, 4), (2, 2), (1, 1)]
+    expect = (img[0::2, 0::2] + img[1::2, 0::2]
+              + img[0::2, 1::2] + img[1::2, 1::2]) / 4.0
+    np.testing.assert_allclose(chain[1], expect, rtol=1e-6)
+    np.testing.assert_allclose(chain[2][0, 0], img.mean(axis=(0, 1)),
+                               rtol=1e-6)
+
+
+def test_atlas_layout():
+    atlas = build_texture_atlas([checkerboard(8), checkerboard(32)])
+    assert int(atlas.n_levels[0]) == 4 and int(atlas.n_levels[1]) == 6
+    # offsets are distinct per real level and clamp past the chain end
+    o0 = np.asarray(atlas.offsets)[0]
+    assert len(set(o0[:4].tolist())) == 4
+    assert o0[4] == o0[3] and o0[5] == o0[3]
+    sz = np.asarray(atlas.sizes)
+    assert tuple(sz[1, 0]) == (32, 32) and tuple(sz[1, 5]) == (1, 1)
+
+
+def _ground_truth(scene, cam, res, st):
+    """Supersampled level-0 oracle: 4x resolution, box-downsampled."""
+    hi = render_oracle(scene, cam, res * 4, res * 4,
+                       st._replace(pixel_spread=F32(-1.0)))["image"]
+    return hi.reshape(res, 4, res, 4, 3).mean(axis=(1, 3))
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_minification_antialiasing(backend):
+    res = 48
+    sd = textured_floor_scene()
+    scene = build_scene(sd)
+    cam = PinholeCamera(eye=(0.0, 2.0, 14.0), center=(0.0, 0.0, -10.0))
+    st = RenderSettings.default(max_depth=1, light_type=1,
+                                light_position=(0.0, 1.0, 0.0),
+                                light_intensity=1.0)
+    truth = _ground_truth(scene, cam, res, st)
+
+    lvl0 = np.asarray(render(scene, cam, res, res,
+                             st._replace(pixel_spread=F32(-1.0)),
+                             backend=backend)["image"])
+    mipped = np.asarray(render(scene, cam, res, res, st,
+                               backend=backend)["image"])
+
+    def err(img):
+        return float(np.sqrt(((img - truth) ** 2).mean()))
+
+    e0, em = err(lvl0), err(mipped)
+    # level 0 aliases badly under 40x tiling; mips must at least halve the
+    # error and land within a loose absolute tolerance of the ground truth
+    assert em < 0.5 * e0, f"mips {em} not << level0 {e0}"
+    # residual vs the supersampled truth is the usual isotropic-trilinear
+    # blur on an anisotropically compressed pattern (~0.08 here vs 0.27)
+    assert em < 0.12, f"mipped error {em}"
+
+
+def test_mipped_render_matches_oracle():
+    """TPU path vs oracle with the SAME lod math: tight parity."""
+    res = 32
+    scene = build_scene(textured_floor_scene())
+    cam = PinholeCamera(eye=(0.0, 2.0, 14.0), center=(0.0, 0.0, -10.0))
+    st = RenderSettings.default(max_depth=1, light_type=1,
+                                light_position=(0.0, 1.0, 0.0),
+                                light_intensity=1.0)
+    o = render_oracle(scene, cam, res, res, st)["image"]
+    d = np.asarray(render(scene, cam, res, res, st)["image"])
+    rmse = float(np.sqrt(((d - o) ** 2).mean()))
+    assert rmse < 1e-3, rmse

@@ -32,6 +32,12 @@ class PinholeCamera:
     near: float = 0.1
     far: float = 1000.0
 
+    def pixel_spread(self, width: int, height: int) -> float:
+        """World-units-per-unit-distance footprint of one pixel (vertical
+        FOV over the pixel rows) — drives texture mip LOD selection."""
+        import math
+        return 2.0 * math.tan(math.radians(self.fov_deg) / 2.0) / height
+
     def matrices(self, aspect: float):
         view = math3d.look_at(self.eye, self.center, self.up)
         proj = math3d.perspective_vk(self.fov_deg, aspect, self.near, self.far)

@@ -38,6 +38,10 @@ class ToroidalCamera:
     center: tuple = (10.0, 0.0, 0.0)
     up: tuple = (0.0, 1.0, 0.0)  # unused by the toroidal math; kept for UI parity
 
+    def pixel_spread(self, width: int, height: int) -> float:
+        """Angular pixel pitch (the grid is 360 degrees over H rows)."""
+        return float(np.radians(360.0 / height))
+
     def offsets(self, rho: float):
         """Scalar (omega, theta) offsets in degrees (rgen:34-53)."""
         eye = np.asarray(self.eye, dtype=F32)

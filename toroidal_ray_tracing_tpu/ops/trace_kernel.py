@@ -91,11 +91,12 @@ def _tri_kernel(clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
     woop_o/woop_d: (3, 4, T). clo/chi: (C, 3) cluster AABBs in SMEM.
     outs: (1, R) accumulators.
 
-    With emit_attrs, per-triangle attribute tables a0/a1/a2 ((20,T)/(8,T)/
-    (8,T): [v0,n0,uv0,material...] and the u/v edge deltas) ride along and
-    the kernel emits interpolated shading attributes (20, R) via pick-masked
-    matmuls — XLA row-gathers cost ~1 row/cycle (8+ ms per 2M-ray gather),
-    so gathering 9+ attribute tables in shade() dominated whole frames.
+    With emit_attrs, per-triangle attribute tables a0/a1/a2 ((21,T)/(8,T)/
+    (8,T): [v0,n0,uv0,material...,uv-density] and the u/v edge deltas) ride
+    along and the kernel emits interpolated shading attributes (21, R) via
+    pick-masked matmuls — XLA row-gathers cost ~1 row/cycle (8+ ms per
+    2M-ray gather), so gathering 9+ attribute tables in shade() dominated
+    whole frames.
     """
     if emit_attrs:
         a0_ref, a1_ref, a2_ref, t_out, idx_out, u_out, v_out, attr_out = refs
@@ -121,7 +122,7 @@ def _tri_kernel(clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
     u_out[...] = jnp.zeros((1, R), F32)
     v_out[...] = jnp.zeros((1, R), F32)
     if emit_attrs:
-        attr_out[...] = jnp.zeros((20, R), F32)
+        attr_out[...] = jnp.zeros((21, R), F32)
 
     any_live = jnp.any(tmax > TMIN)  # dead tiles (tmax=0 bounce cull) skip
 
@@ -196,7 +197,7 @@ def _tri_kernel(clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
                 # the pick mask (K = C: full MXU contraction, unlike the
                 # K=4 Woop dots)
                 pickf = pick.astype(jnp.float32)
-                a0 = a0_ref[:, pl.ds(base, cluster)]     # (20, C)
+                a0 = a0_ref[:, pl.ds(base, cluster)]     # (21, C)
                 a1 = a1_ref[:, pl.ds(base, cluster)]     # (8, C)
                 a2 = a2_ref[:, pl.ds(base, cluster)]     # (8, C)
                 n0 = jnp.dot(a0, pickf, precision=hp,
@@ -207,7 +208,7 @@ def _tri_kernel(clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
                 n2 = jnp.dot(a2, pickf * jnp.where(pick, v, 0.0),
                              precision=hp,
                              preferred_element_type=jnp.float32)
-                new = jnp.concatenate([n0[0:8] + n1 + n2, n0[8:20]], axis=0)
+                new = jnp.concatenate([n0[0:8] + n1 + n2, n0[8:21]], axis=0)
                 attr_out[...] = jnp.where(better, new, attr_out[...])
 
         return 0
@@ -223,8 +224,8 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
                            ray_tile: int = RAY_TILE, attr_tables=None):
     """origins/dirs: (N, 3); woop_o: (3, 4, T); woop_d: (3, 3, T);
     cluster_*: (C, 3). N must be a multiple of ray_tile. attr_tables:
-    optional ((20,T), (8,T), (8,T)) shading-attribute tables — when given,
-    a fifth (20, N) output carries the winner's interpolated attributes."""
+    optional ((21,T), (8,T), (8,T)) shading-attribute tables — when given,
+    a fifth (21, N) output carries the winner's interpolated attributes."""
     n = origins.shape[0]
     T = woop_o.shape[2]
     assert n % ray_tile == 0, n
@@ -254,9 +255,9 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
     if emit_attrs:
         in_specs += [full, full, full]
         operands += list(attr_tables)
-        out_specs.append(pl.BlockSpec((20, ray_tile), lambda i: (0, i),
+        out_specs.append(pl.BlockSpec((21, ray_tile), lambda i: (0, i),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((20, n), F32))
+        out_shape.append(jax.ShapeDtypeStruct((21, n), F32))
 
     out = pl.pallas_call(
         functools.partial(_tri_kernel, cluster=cluster,
@@ -517,13 +518,20 @@ def _material_rows(scene: Scene, mat_id):
 
 
 def _tri_attr_tables(scene: Scene, geom):
-    """((20,Tl), (8,Tl), (8,Tl)) interpolation tables for the geometry
+    """((21,Tl), (8,Tl), (8,Tl)) interpolation tables for the geometry
     slice: attr = A0[p] + u*A1[p] + v*A2[p]. Rows 0-7 are [pos, nrm, uv];
-    rows 8-19 the baked material."""
+    rows 8-19 the baked material; row 20 the uv texel density (mip LOD)."""
     tris = scene.triangles
+    duv1 = jnp.asarray(tris.uv1) - jnp.asarray(tris.uv0)
+    duv2 = jnp.asarray(tris.uv2) - jnp.asarray(tris.uv0)
+    uv_area = jnp.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    world_area = jnp.linalg.norm(
+        jnp.cross(jnp.asarray(tris.e1), jnp.asarray(tris.e2)), axis=-1)
+    density = jnp.sqrt(uv_area / jnp.maximum(world_area, F32(1e-30)))
     a0 = jnp.concatenate([
         jnp.asarray(tris.v0), jnp.asarray(tris.n0), jnp.asarray(tris.uv0),
         _material_rows(scene, jnp.asarray(tris.mat_id)),
+        density[:, None],
     ], axis=1).T
     a1 = jnp.concatenate([
         jnp.asarray(tris.e1),
@@ -587,7 +595,7 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
             attr_tables=tables)
         tt, ti, tu, tv = out[:4]
         if want_attrs:
-            tri_attr = out[4]                        # (20, Np)
+            tri_attr = out[4]                        # (21, Np)
         better = tt < t_best
         t_best = jnp.where(better, tt, t_best)
         kind = jnp.where(better, 0, kind)
@@ -622,7 +630,7 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
     if want_attrs:
         is_tor = (kind == 1)[None, :]
         if tri_attr is None:
-            tri_attr = jnp.zeros((20, np_), F32)
+            tri_attr = jnp.zeros((21, np_), F32)
         if tor_attr is None:
             tor_attr = jnp.zeros((15, np_), F32)
         # torus world position = o + t d (computed in shade); the pos rows
@@ -642,6 +650,8 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
             shininess=row(mat, 9),
             illum=jnp.round(row(mat, 10)).astype(jnp.int32),
             texture_id=jnp.round(row(mat, 11)).astype(jnp.int32),
+            tex_density=jnp.where(sl(kind == 1), F32(0.0),
+                                  row(tri_attr, 20)),
         )
     return _isect.Hit(t=sl(t_best), kind=sl(kind), prim=sl(prim),
                       u=sl(u), v=sl(v), attrs=attrs)

@@ -171,10 +171,22 @@ def _shade(scene: Scene, settings: RenderSettings, origins, dirs, hit):
     diffuse = diffuse_c * np.maximum(ndotl, 0.0)[:, None]
     diffuse = np.where((illum >= 1)[:, None], diffuse + ambient, diffuse)
 
-    # texture modulation (raytrace.rchit:79-84)
+    # texture modulation (raytrace.rchit:79-84), mip LOD as in trace/shade.py
     has_tex = tex_id >= 0
     if bool(has_tex.any()):
-        texel = _sample_texture(scene, np.maximum(tex_id, 0), tri_uv)
+        duv1 = tris.uv1[tp] - tris.uv0[tp]
+        duv2 = tris.uv2[tp] - tris.uv0[tp]
+        uv_area = np.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+        world_area = np.linalg.norm(np.cross(tris.e1[tp], tris.e2[tp]),
+                                    axis=-1)
+        density = np.sqrt(uv_area / np.maximum(world_area, 1e-30))
+        tid = np.maximum(tex_id, 0)
+        sizes = np.asarray(scene.textures.sizes)
+        dim0 = np.maximum(sizes[tid, 0, 0], sizes[tid, 0, 1]).astype(F32)
+        spread = F32(np.asarray(settings.pixel_spread))
+        texels = np.minimum(t, 1e8) * spread * density * dim0
+        lod = np.log2(np.maximum(texels, 1e-20))
+        texel = _sample_texture(scene, tid, tri_uv, lod)
         diffuse = np.where(has_tex[:, None], diffuse * texel, diffuse)
 
     # --- shadow ray (raytrace.rchit:89-120) ---
@@ -221,29 +233,41 @@ def _shade(scene: Scene, settings: RenderSettings, origins, dirs, hit):
     }
 
 
-def _sample_texture(scene: Scene, tex_id, uv):
-    """Bilinear, repeat addressing (tutorial sampler defaults)."""
-    data = scene.textures.data
-    sizes = scene.textures.sizes
-    h = sizes[tex_id, 0].astype(F32)
-    w = sizes[tex_id, 1].astype(F32)
-    u = uv[:, 0] % 1.0
-    v = uv[:, 1] % 1.0
-    x = u * w - 0.5
-    y = v * h - 0.5
+def _bilinear_level(scene: Scene, tex_id, level, uv):
+    """Bilinear, repeat addressing, at one mip level of the flat atlas."""
+    atlas = scene.textures
+    off = np.asarray(atlas.offsets)[tex_id, level].astype(np.int64)
+    hs = np.asarray(atlas.sizes)[tex_id, level, 0].astype(np.int64)
+    ws = np.asarray(atlas.sizes)[tex_id, level, 1].astype(np.int64)
+    x = (uv[:, 0] % 1.0) * ws.astype(F32) - 0.5
+    y = (uv[:, 1] % 1.0) * hs.astype(F32) - 0.5
     x0 = np.floor(x)
     y0 = np.floor(y)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
+    data = np.asarray(atlas.data)
 
     def tap(xi, yi):
-        xi = (xi % sizes[tex_id, 1].astype(np.int64)).astype(np.int64)
-        yi = (yi % sizes[tex_id, 0].astype(np.int64)).astype(np.int64)
-        return data[tex_id, yi, xi]
+        xi = xi.astype(np.int64) % ws
+        yi = yi.astype(np.int64) % hs
+        return data[off + yi * ws + xi]
 
     c = (tap(x0, y0) * (1 - fx) * (1 - fy) + tap(x0 + 1, y0) * fx * (1 - fy)
          + tap(x0, y0 + 1) * (1 - fx) * fy + tap(x0 + 1, y0 + 1) * fx * fy)
     return c.astype(F32)
+
+
+def _sample_texture(scene: Scene, tex_id, uv, lod=None):
+    """Trilinear mipmapped sampling (matches trace/shade._sample_texture)."""
+    if lod is None:
+        return _bilinear_level(scene, tex_id, np.zeros_like(tex_id), uv)
+    nl = np.asarray(scene.textures.n_levels)[tex_id]
+    lv = np.clip(lod, 0.0, (nl - 1).astype(F32))
+    l0 = np.floor(lv).astype(np.int64)
+    l1 = np.minimum(l0 + 1, nl - 1)
+    f = (lv - l0)[:, None].astype(F32)
+    return (_bilinear_level(scene, tex_id, l0, uv) * (1 - f)
+            + _bilinear_level(scene, tex_id, l1, uv) * f)
 
 
 def render_oracle(scene: Scene, camera, width: int, height: int,
@@ -253,6 +277,8 @@ def render_oracle(scene: Scene, camera, width: int, height: int,
     host_device.h:101-107)."""
     if settings is None:
         settings = RenderSettings.default()
+    from toroidal_ray_tracing_tpu.render.renderer import autofill_pixel_spread
+    settings = autofill_pixel_spread(settings, camera, width, height)
     origins, dirs = camera.generate_rays(width, height, settings, xp=np)
     n = origins.shape[0]
 

@@ -197,6 +197,8 @@ def render_sharded(
     """
     if settings is None:
         settings = RenderSettings.default()
+    from toroidal_ray_tracing_tpu.render.renderer import autofill_pixel_spread
+    settings = autofill_pixel_spread(settings, camera, width, height)
     if mesh is None:
         mesh = make_mesh()
     n_rays = mesh.shape["rays"]

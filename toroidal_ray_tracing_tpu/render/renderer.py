@@ -56,6 +56,23 @@ def tonemap(image):
     return jnp.power(jnp.clip(image, 0.0, None), F32(1.0 / 2.2))
 
 
+def autofill_pixel_spread(settings, camera, width, height):
+    """Fill RenderSettings.pixel_spread from the camera when unset (0) —
+    the reference's sampler is always mipmapped (hello_vulkan.cpp:315-339),
+    so textured renders mip by default. Pass pixel_spread=-1 (any negative)
+    to force level-0 sampling."""
+    try:
+        ps = float(np.asarray(settings.pixel_spread))
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return settings  # traced: caller manages it
+    if ps == 0.0 and hasattr(camera, "pixel_spread"):
+        return settings._replace(
+            pixel_spread=F32(camera.pixel_spread(width, height)))
+    if ps < 0.0:
+        return settings._replace(pixel_spread=F32(0.0))
+    return settings
+
+
 _device_scene_cache: dict = {}
 
 
@@ -205,6 +222,7 @@ def render(
     """
     if settings is None:
         settings = RenderSettings.default()
+    settings = autofill_pixel_spread(settings, camera, width, height)
     if out_sharding is None:
         scene = _as_device_scene(scene)
 

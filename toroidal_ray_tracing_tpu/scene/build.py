@@ -91,6 +91,61 @@ def to_device(scene: Scene) -> Scene:
     return jax.tree_util.tree_map(jnp.asarray, scene)
 
 
+def _mip_chain(img: np.ndarray) -> "list[np.ndarray]":
+    """Full mip pyramid by 2x2 box filtering (the linear-blit behavior of
+    nvvk::cmdGenerateMipmaps, hello_vulkan.cpp:339). Odd dimensions round
+    down (floor(d/2), min 1), averaging the even-cropped region."""
+    levels = [np.asarray(img[..., :3], F32)]
+    while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+        cur = levels[-1]
+        h2, w2 = max(cur.shape[0] // 2, 1), max(cur.shape[1] // 2, 1)
+        c = cur[: h2 * 2 or 1, : w2 * 2 or 1]
+        if cur.shape[0] == 1:
+            nxt = (c[:, 0::2] + c[:, 1::2]) * 0.5
+        elif cur.shape[1] == 1:
+            nxt = (c[0::2] + c[1::2]) * 0.5
+        else:
+            nxt = (c[0::2, 0::2] + c[1::2, 0::2]
+                   + c[0::2, 1::2] + c[1::2, 1::2]) * 0.25
+        levels.append(nxt.astype(F32))
+    return levels
+
+
+def build_texture_atlas(textures: list) -> TextureAtlas:
+    """Pack textures + mip chains into a flat texel buffer (TextureAtlas)."""
+    if not textures:
+        # dummy white texel (hello_vulkan.cpp:292-309)
+        return TextureAtlas(
+            data=np.ones((1, 3), F32),
+            offsets=np.zeros((1, 1), I32),
+            sizes=np.ones((1, 1, 2), I32),
+            n_levels=np.ones((1,), I32),
+        )
+    chains = [_mip_chain(t) for t in textures]
+    L = max(len(c) for c in chains)
+    n = len(chains)
+    offsets = np.zeros((n, L), I32)
+    sizes = np.ones((n, L, 2), I32)
+    blocks = []
+    cursor = 0
+    for i, chain in enumerate(chains):
+        for lv in range(L):
+            m = chain[min(lv, len(chain) - 1)]
+            if lv < len(chain):
+                blocks.append(m.reshape(-1, 3))
+                offsets[i, lv] = cursor
+                cursor += m.shape[0] * m.shape[1]
+            else:  # clamp: duplicate the last level's offset
+                offsets[i, lv] = offsets[i, lv - 1]
+            sizes[i, lv] = (m.shape[0], m.shape[1])
+    return TextureAtlas(
+        data=np.concatenate(blocks, axis=0).astype(F32),
+        offsets=offsets,
+        sizes=sizes,
+        n_levels=np.asarray([len(c) for c in chains], I32),
+    )
+
+
 def build_scene(
     scene_def: SceneDef,
     cluster_size: int = 256,
@@ -318,20 +373,7 @@ def build_scene(
         center=t_center, bound_radius=t_bound,
     )
 
-    # --- textures ----------------------------------------------------------
-    if textures:
-        th = max(t.shape[0] for t in textures)
-        tw = max(t.shape[1] for t in textures)
-        data = np.zeros((len(textures), th, tw, 3), F32)
-        sizes = np.zeros((len(textures), 2), I32)
-        for i, t in enumerate(textures):
-            data[i, : t.shape[0], : t.shape[1]] = t[..., :3]
-            sizes[i] = (t.shape[0], t.shape[1])
-    else:
-        # dummy 1x1 white (hello_vulkan.cpp:292-309)
-        data = np.ones((1, 1, 1, 3), F32)
-        sizes = np.ones((1, 2), I32)
-    atlas = TextureAtlas(data=data, sizes=sizes)
+    atlas = build_texture_atlas(textures)
 
     return Scene(
         triangles=triangles,

@@ -99,6 +99,11 @@ class RenderSettings(NamedTuple):
     light: Light
     max_depth: Any        # () i32 — bounce cap (reference default 10, hello_vulkan.h:153)
     rho: Any              # () f32 — toroidal ring radius (reference sweep 4..10)
+    pixel_spread: Any = F32(0.0)  # () f32 — world-units-per-unit-distance
+    # footprint of one pixel, used for texture mip LOD selection (the
+    # hardware sampler's derivative-based LOD analog). 0 = sample level 0;
+    # render()/render_oracle() auto-fill it from the camera, matching the
+    # reference's always-mipmapped sampler (hello_vulkan.cpp:315-318)
 
     @staticmethod
     def default(
@@ -108,6 +113,7 @@ class RenderSettings(NamedTuple):
         light_type=LIGHT_POINT,
         max_depth=10,
         rho=4.0,
+        pixel_spread=0.0,
     ) -> "RenderSettings":
         return RenderSettings(
             clear_color=np.asarray(clear_color, dtype=F32),
@@ -118,6 +124,7 @@ class RenderSettings(NamedTuple):
             ),
             max_depth=I32(max_depth),
             rho=F32(rho),
+            pixel_spread=F32(pixel_spread),
         )
 
 
@@ -257,12 +264,21 @@ class TorusSoup(NamedTuple):
 
 
 class TextureAtlas(NamedTuple):
-    """All scene textures stacked into one padded array (replaces the
-    `sampler2D textureSamplers[]` binding, raytrace.rchit:22). A single 1x1
-    white dummy if the scene has none (hello_vulkan.cpp:292-309)."""
+    """All scene textures + full mip chains packed into one flat texel
+    buffer (replaces the `sampler2D textureSamplers[]` binding,
+    raytrace.rchit:22; mip generation mirrors nvvk::cmdGenerateMipmaps,
+    hello_vulkan.cpp:339). A single white texel if the scene has none
+    (hello_vulkan.cpp:292-309).
 
-    data: Any      # (n_tex, H, W, 3) f32, each texture padded to (H, W)
-    sizes: Any     # (n_tex, 2) i32 — (height, width) actually used
+    Level l of texture i occupies rows `offsets[i, l] : offsets[i, l] +
+    h*w` of `data`, row-major, with (h, w) = sizes[i, l]. Entries beyond
+    n_levels[i] duplicate the last level (so LOD clamping needs no
+    branches)."""
+
+    data: Any      # (total_texels, 3) f32
+    offsets: Any   # (n_tex, L) i32
+    sizes: Any     # (n_tex, L, 2) i32 — (height, width) per level
+    n_levels: Any  # (n_tex,) i32
 
 
 @struct.dataclass

@@ -53,6 +53,7 @@ class ShadeAttrs(NamedTuple):
     shininess: Any   # (N,)
     illum: Any       # (N,) i32
     texture_id: Any  # (N,) i32
+    tex_density: Any  # (N,) uv-texel density for mip LOD (tris only)
 
 
 class Hit(NamedTuple):

@@ -42,32 +42,55 @@ def _normalize(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), F32(1e-30))
 
 
-def _sample_texture(scene: Scene, tex_id, uv):
-    """Bilinear, repeat addressing — replaces `texture(textureSamplers[...])`
-    (raytrace.rchit:83)."""
-    data = scene.textures.data
-    sizes = scene.textures.sizes
-    h = sizes[tex_id, 0].astype(F32)
-    w = sizes[tex_id, 1].astype(F32)
-    x = (uv[:, 0] % 1.0) * w - F32(0.5)
-    y = (uv[:, 1] % 1.0) * h - F32(0.5)
+def mip_lod(xp, t, pixel_spread, tex_density, level0_max_dim):
+    """Footprint-based LOD (shared with the oracle so parity is exact):
+    texels covered by one pixel at hit distance t = t * pixel_spread *
+    uv-density * texture resolution; lod = log2 of that. A cheap analog of
+    the hardware sampler's derivative LOD — no ray differentials needed.
+    pixel_spread == 0 degenerates to level 0 (log2 -> -inf, clamped)."""
+    texels = (xp.minimum(xp.asarray(t, F32), F32(1e8)) * pixel_spread
+              * tex_density * level0_max_dim)
+    return xp.log2(xp.maximum(texels, F32(1e-20)))
+
+
+def _bilinear_level(scene: Scene, tex_id, level, uv):
+    """Bilinear, repeat addressing, at one mip level of the flat atlas."""
+    atlas = scene.textures
+    off = atlas.offsets[tex_id, level]
+    hs = atlas.sizes[tex_id, level, 0]
+    ws = atlas.sizes[tex_id, level, 1]
+    x = (uv[:, 0] % 1.0) * ws.astype(F32) - F32(0.5)
+    y = (uv[:, 1] % 1.0) * hs.astype(F32) - F32(0.5)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
 
-    hs = sizes[tex_id, 0]
-    ws = sizes[tex_id, 1]
-
     def tap(xi, yi):
         xi = jnp.mod(xi.astype(jnp.int32), ws)
         yi = jnp.mod(yi.astype(jnp.int32), hs)
-        return data[tex_id, yi, xi]
+        return atlas.data[off + yi * ws + xi]
 
     return (tap(x0, y0) * (1 - fx) * (1 - fy)
             + tap(x0 + 1, y0) * fx * (1 - fy)
             + tap(x0, y0 + 1) * (1 - fx) * fy
             + tap(x0 + 1, y0 + 1) * fx * fy)
+
+
+def _sample_texture(scene: Scene, tex_id, uv, lod=None):
+    """Trilinear mipmapped sampling — replaces the reference's mipmapped
+    `texture(textureSamplers[...])` (raytrace.rchit:83; sampler with a full
+    mip chain, hello_vulkan.cpp:315-339). lod=None samples level 0."""
+    if lod is None:
+        return _bilinear_level(scene, tex_id, jnp.zeros_like(tex_id), uv)
+    nl = scene.textures.n_levels[tex_id]
+    l = jnp.clip(lod, 0.0, (nl - 1).astype(F32))
+    l0 = jnp.floor(l).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, nl - 1)
+    f = (l - l0.astype(F32))[:, None]
+    c0 = _bilinear_level(scene, tex_id, l0, uv)
+    c1 = _bilinear_level(scene, tex_id, l1, uv)
+    return c0 * (1 - f) + c1 * f
 
 
 def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
@@ -98,7 +121,8 @@ def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
         return _shade_common(scene, settings, origins, dirs, hit, missed,
                              is_tor, ray_hit_pos, world_pos, nrm, tri_uv,
                              ambient, diffuse_c, specular_c, shininess,
-                             illum, tex_id, backend, geom, prim_axis)
+                             illum, tex_id, a.tex_density, backend, geom,
+                             prim_axis)
 
     tri_prim = jnp.where(is_tor, 0, prim)
     tor_prim = jnp.where(is_tor, prim, 0)
@@ -150,16 +174,26 @@ def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
     shininess = mats.shininess[mat_id]
     illum = mats.illum[mat_id]
     tex_id = jnp.where(is_tor, -1, mats.texture_id[mat_id])
+
+    # uv texel density for mip LOD: sqrt(uv area / world area) of the tri
+    duv1 = tris.uv1[tri_prim] - tris.uv0[tri_prim]
+    duv2 = tris.uv2[tri_prim] - tris.uv0[tri_prim]
+    uv_area = jnp.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    e1g, e2g = tris.e1[tri_prim], tris.e2[tri_prim]
+    world_area = jnp.linalg.norm(jnp.cross(e1g, e2g), axis=-1)
+    tex_density = jnp.sqrt(uv_area / jnp.maximum(world_area, F32(1e-30)))
+
     return _shade_common(scene, settings, origins, dirs, hit, missed,
                          is_tor, ray_hit_pos, world_pos, nrm, tri_uv,
                          ambient, diffuse_c, specular_c, shininess,
-                         illum, tex_id, backend, geom, prim_axis)
+                         illum, tex_id, tex_density, backend, geom,
+                         prim_axis)
 
 
 def _shade_common(scene, settings, origins, dirs, hit, missed, is_tor,
                   ray_hit_pos, world_pos, nrm, tri_uv, ambient, diffuse_c,
-                  specular_c, shininess, illum, tex_id, backend, geom,
-                  prim_axis) -> ShadeResult:
+                  specular_c, shininess, illum, tex_id, tex_density,
+                  backend, geom, prim_axis) -> ShadeResult:
     # --- light (rchit:57-71) ---
     light = settings.light
     lpos = jnp.asarray(light.position, F32)
@@ -181,9 +215,15 @@ def _shade_common(scene, settings, origins, dirs, hit, missed, is_tor,
     diffuse = diffuse_c * jnp.maximum(ndotl, 0.0)[:, None]
     diffuse = jnp.where((illum >= 1)[:, None], diffuse + ambient, diffuse)
 
-    # texture modulation (rchit:79-84); static skip when scene has no textures
-    if scene.textures.data.shape[1] > 1 or scene.textures.data.shape[2] > 1:
-        texel = _sample_texture(scene, jnp.maximum(tex_id, 0), tri_uv)
+    # texture modulation (rchit:79-84); static skip when scene has no
+    # textures (the dummy atlas is a single texel)
+    if scene.textures.data.shape[0] > 1:
+        tid = jnp.maximum(tex_id, 0)
+        dim0 = jnp.maximum(scene.textures.sizes[tid, 0, 0],
+                           scene.textures.sizes[tid, 0, 1]).astype(F32)
+        lod = mip_lod(jnp, hit.t, jnp.asarray(settings.pixel_spread, F32),
+                      tex_density, dim0)
+        texel = _sample_texture(scene, tid, tri_uv, lod)
         diffuse = jnp.where((tex_id >= 0)[:, None], diffuse * texel, diffuse)
 
     # --- shadow ray (rchit:89-120): only where dot(N, L) > 0 ---
