@@ -87,8 +87,10 @@ def main():
     try:
         run = make_run(backend)
         drain(run(scene, settings, stack))  # compile + warm up
-    except Exception:
+    except Exception as e:
         if backend == "pallas":  # fall back if the kernel path regresses
+            print(f"WARNING: pallas backend failed, falling back to jnp: "
+                  f"{type(e).__name__}: {str(e)[:500]}", file=sys.stderr)
             backend = "jnp"
             run = make_run(backend)
             drain(run(scene, settings, stack))
@@ -108,13 +110,52 @@ def main():
     n_chips = max(len(jax.devices()), 1)
     value = mrays / n_chips
 
+    from toroidal_ray_tracing_tpu.utils import roofline
+
+    if "--ladder" in sys.argv:
+        _write_ladder(backend, value, roofline.mfu(value, scene))
+
     print(json.dumps({
         "metric": "Mrays/sec/chip @1080p 3-bounce reflective "
                   f"({backend} backend, fetch-drained timing)",
         "value": round(value, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(value / 100.0, 3),
+        "mfu": round(roofline.mfu(value, scene), 4),
     }))
+
+
+def _write_ladder(backend, headline, headline_mfu):
+    """Run the 5-scenario BASELINE ladder and write LADDER.json."""
+    import os
+
+    from toroidal_ray_tracing_tpu.experiments.configs import (SCENARIOS,
+                                                              run_scenario)
+    from toroidal_ray_tracing_tpu.utils import roofline
+
+    rows = []
+    for n in sorted(SCENARIOS):
+        sc = SCENARIOS[n]
+        frames = None if sc.animate_frames else 6
+        _, stats = run_scenario(n, backend=backend, frames=frames)
+        row = dict(stats)
+        if "mrays_per_s" in stats:
+            row["mfu"] = round(roofline.mfu(stats["mrays_per_s"],
+                                            sc.build()), 4)
+        rows.append(row)
+    out = {
+        "protocol": "fetch-drained timing (see bench.py docstring); "
+                    "per-frame dispatch round trips included",
+        "backend": backend,
+        "headline_mrays_per_s_per_chip": headline,
+        "headline_mfu": round(headline_mfu, 4),
+        "ladder": rows,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "LADDER.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"ladder_written": path}), file=sys.stderr)
 
 
 if __name__ == "__main__":

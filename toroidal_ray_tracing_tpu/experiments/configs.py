@@ -90,6 +90,10 @@ def run_scenario(num: int, backend: str = "jnp", out_dir: str | None = None,
     st = sc.settings()
     n_frames = frames if frames is not None else max(sc.animate_frames, 1)
 
+    # Timing truth on the TPU tunnel: block_until_ready() can return before
+    # the device has executed anything (fire-and-forget dispatch) — only a
+    # host fetch drains the queue. Frame 0 is fetched to exclude compile;
+    # the timed window ends by fetching the last frame's ray counter.
     last = None
     ray_counts = []
     rays_frame0 = None
@@ -99,16 +103,14 @@ def run_scenario(num: int, backend: str = "jnp", out_dir: str | None = None,
         out = render(scene, cam, sc.width, sc.height, st, backend=backend,
                      spp=sc.spp, seed=f, tile_rows=sc.tile_rows)
         if f == 0:
-            out["image"].block_until_ready()
-            rays_frame0 = float(out["rays_traced"])
-            t_start = time.perf_counter()  # exclude compile
+            rays_frame0 = float(out["rays_traced"])  # drains compile+run
+            t_start = time.perf_counter()
         else:
             ray_counts.append(out["rays_traced"])  # no per-frame sync
         last = out  # keep only the latest frame alive (4K frames are large)
     if n_frames > 1:
-        last["image"].block_until_ready()
+        total_rays = float(sum(float(r) for r in ray_counts))  # drains
         elapsed = time.perf_counter() - t_start
-        total_rays = float(sum(float(r) for r in ray_counts))
     else:
         elapsed = None
         total_rays = 0.0

@@ -7,10 +7,12 @@ one render per step here), dumping per-step position + color text files, and
 optionally the per-pixel ray origins/directions.
 
 The reference's `updateSubjectPosition` (hello_vulkan.cpp:963-986) pins
-instance 0 — the `cube_multi` "subject" avatar — to the camera eye each frame
-via a TLAS refit; `subject_follow=True` replicates that by re-baking instance
-0's translation to the eye (scene flattening is the refit analog,
-SURVEY.md §7.5).
+instance 0 — the `cube_multi` "subject" avatar — to the camera eye EVERY
+frame via a TLAS refit (update=true); `subject_follow=True` replicates that
+with `scene.build.refit_instance`, an incremental re-bake of instance 0's
+rows only. With `camera_path` the camera animates across the sweep and the
+subject tracks each new eye — the moving-camera case the reference's render
+loop handles (main.cpp:296-300).
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from toroidal_ray_tracing_tpu.cameras import ToroidalCamera
 from toroidal_ray_tracing_tpu.io import dumps
 from toroidal_ray_tracing_tpu.render import render
 from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene, procedural
+from toroidal_ray_tracing_tpu.scene.build import refit_instance
 
 RHO_START = 4.0   # main.cpp:245
 RHO_END = 10.0    # main.cpp:399-402
@@ -46,8 +49,13 @@ def run_sweep(
     save_rays: bool = True,
     subject_follow: bool = False,
     save_npz: bool = False,
+    camera_path=None,
 ):
-    """Run the full sweep; returns the list of written files."""
+    """Run the full sweep; returns the list of written files.
+
+    camera_path: optional callable step -> ToroidalCamera animating the
+    camera across the sweep; with subject_follow, instance 0 is refit to
+    each frame's eye (updateSubjectPosition semantics)."""
     if camera is None:
         # reference default pose: lookat (0,0,0) -> (10,0,0) (main.cpp:123-133)
         camera = ToroidalCamera(eye=(0.0, 0.0, 0.0), center=(10.0, 0.0, 0.0))
@@ -55,14 +63,24 @@ def run_sweep(
         settings = RenderSettings.default()
     os.makedirs(out_dir, exist_ok=True)
 
+    subject_xf = None
     if subject_follow and scene_def.instances:
+        cam0 = camera_path(0) if camera_path is not None else camera
         xf = np.array(scene_def.instances[0].transform, copy=True)
-        xf[:3, 3] = np.asarray(camera.eye, np.float32)
+        xf[:3, 3] = np.asarray(cam0.eye, np.float32)
         scene_def.instances[0].transform = xf
+        subject_xf = xf
     scene = build_scene(scene_def)
 
     written = []
     for i, rho in enumerate(rho_values()):
+        if camera_path is not None:
+            camera = camera_path(i)
+            if subject_xf is not None:
+                new_xf = np.array(subject_xf, copy=True)
+                new_xf[:3, 3] = np.asarray(camera.eye, np.float32)
+                scene = refit_instance(scene, 0, subject_xf, new_xf)
+                subject_xf = new_xf
         st = settings._replace(rho=np.float32(rho))
         out = render(scene, camera, width, height, st, backend=backend)
         hitpos = np.asarray(out["hit_position"])

@@ -8,9 +8,12 @@ sorted triangles chunked into fixed-size clusters with AABBs
 (`scene/build.py`), culled per ray-tile inside the Pallas kernel.
 
 This module additionally provides a classic median-split BVH over cluster
-AABBs — used to order clusters front-to-back for early-out heuristics and by
-tests as an independent reference for the cluster bounds. A native C++
-builder (csrc/) can replace `build_bvh` transparently.
+AABBs. It is NOT on the production trace path: the kernel's front-to-back
+early-out instead sorts clusters by distance from each dispatch's mean ray
+origin (ops/trace_kernel.tri_closest_hit_pallas), which adapts per frame
+where a static BVH order cannot. `build_bvh` is kept as the tests'
+independent reference for cluster bounds (tests/test_geom.py) and as the
+starting point if gigascale scenes ever need true hierarchical traversal.
 """
 
 from __future__ import annotations

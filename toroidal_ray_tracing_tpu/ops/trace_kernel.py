@@ -82,13 +82,16 @@ def _inv_dir(dc):
     return jnp.where(ok, r, jnp.where(dc >= 0, F32(3e38), F32(-3e38)))
 
 
-def _tri_kernel(clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
+def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
                 woop_o_ref, woop_d_ref, *refs,
                 cluster: int, emit_attrs: bool):
     """One grid step = one ray tile vs all triangles (cluster-culled).
 
     o/d: (4, R) homogeneous origins ([o,1]^T) and dirs ([d,0]^T).
     woop_o/woop_d: (3, 4, T). clo/chi: (C, 3) cluster AABBs in SMEM.
+    order: (C,) i32 front-to-back cluster visit order (sorted by distance
+    from the dispatch's mean ray origin) — near clusters set t_best early
+    so the slab test prunes far clusters instead of merely masking them.
     outs: (1, R) accumulators.
 
     With emit_attrs, per-triangle attribute tables a0/a1/a2 ((21,T)/(8,T)/
@@ -126,8 +129,19 @@ def _tri_kernel(clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
 
     any_live = jnp.any(tmax > TMIN)  # dead tiles (tmax=0 bounce cull) skip
 
-    def body(j, _):
-        base = j * cluster
+    # reordering loads the cluster id from SMEM, making the woop-table slice
+    # offset opaque to Mosaic's alignment prover; the multiple_of claim is
+    # only true when the cluster width is lane-aligned, so fall back to
+    # index order otherwise (small scenes are a single cluster anyway)
+    reorder = n_clusters > 1 and cluster % 128 == 0
+
+    def body(jj, _):
+        if reorder:
+            j = order_ref[jj]
+            base = pl.multiple_of(j * cluster, 128)
+        else:
+            j = jj
+            base = j * cluster
         t_best = t_out[...]
 
         # --- cluster cull: does any ray enter this cluster's AABB closer
@@ -243,8 +257,16 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    in_specs = [smem, smem, ray_spec, ray_spec, row_spec, full, full]
-    operands = [cluster_lo, cluster_hi, oh, d4, tm, woop_o, wd4]
+    # front-to-back cluster visit order (by distance from the batch's mean
+    # origin): near clusters fill t_best first, so the in-kernel slab test
+    # prunes far clusters outright instead of merely masking their pairs
+    centers = (jnp.asarray(cluster_lo) + jnp.asarray(cluster_hi)) * 0.5
+    mean_o = jnp.mean(origins, axis=0)
+    order = jnp.argsort(
+        jnp.sum((centers - mean_o[None, :]) ** 2, axis=1)).astype(jnp.int32)
+
+    in_specs = [smem, smem, smem, ray_spec, ray_spec, row_spec, full, full]
+    operands = [cluster_lo, cluster_hi, order, oh, d4, tm, woop_o, wd4]
     out_specs = [row_spec, row_spec, row_spec, row_spec]
     out_shape = [
         jax.ShapeDtypeStruct((1, n), F32),

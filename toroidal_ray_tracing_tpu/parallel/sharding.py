@@ -87,6 +87,8 @@ def _pad_triangles_for_mesh(scene: Scene, n_prim_shards: int) -> Scene:
         n1=cat(tri.n1, 0.0, (pad, 3)), n2=cat(tri.n2, 0.0, (pad, 3)),
         uv0=cat(tri.uv0, 0.0, (pad, 2)), uv1=cat(tri.uv1, 0.0, (pad, 2)),
         uv2=cat(tri.uv2, 0.0, (pad, 2)),
+        c0=cat(tri.c0, 0.0, (pad, 3)), c1=cat(tri.c1, 0.0, (pad, 3)),
+        c2=cat(tri.c2, 0.0, (pad, 3)),
         mat_id=cat(tri.mat_id, 0, (pad,)),
         instance_id=cat(tri.instance_id, -1, (pad,)),
         valid=cat(tri.valid, False, (pad,)),

@@ -85,7 +85,14 @@ def _splat_core(positions, colors, viewproj, clear, width, height, point_size):
             taps.append((idx, zi, ok))
             zbuf = zbuf.at[idx].min(zi)
 
-    # color resolve: a point wins a pixel iff its depth equals the z-buffer
+    # color resolve: a point wins a pixel iff its depth equals the z-buffer.
+    # QUIRK DECISION (SURVEY.md §7.5 style): equal-depth ties resolve to the
+    # MAX color among the tied points. The reference colors by
+    # gl_PrimitiveID (before_second/shaders/frag_shader.frag:43-45), i.e.
+    # draw order, which is rasterization-order-dependent on real hardware
+    # and not reproducible here; max-color is deterministic and
+    # order-independent (exact ties between distinct cloud points are
+    # measure-zero for real capture data). Documented, not replicated.
     win_accum = jnp.full((npx, 3), F32(-1.0))
     won = jnp.zeros((npx,), bool)
     for idx, zi, ok in taps:

@@ -15,6 +15,8 @@ world/object transforms plus a world bounding sphere for culling.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from toroidal_ray_tracing_tpu.scene.types import (
@@ -89,6 +91,99 @@ def to_device(scene: Scene) -> Scene:
     import jax.numpy as jnp
 
     return jax.tree_util.tree_map(jnp.asarray, scene)
+
+
+def refit_instance(scene: Scene, instance_id: int, old_transform,
+                   new_transform) -> Scene:
+    """Per-frame TLAS refit analog: re-bake ONE instance's world-space rows.
+
+    The reference's `updateSubjectPosition` re-translates instance 0 (the
+    `cube_multi` subject) to the camera eye every frame and refits the TLAS
+    (VKT/ray_tracing__before/hello_vulkan.cpp:963-986, update=true). Here
+    the flattened scene is patched in place of a full `build_scene`: only
+    rows whose `instance_id` matches are transformed (Woop matrices and the
+    AABBs of the clusters they live in are recomputed); everything else —
+    Morton/SAH ordering, materials, textures — is untouched, so the refit
+    cost is O(instance size + touched clusters), not O(scene).
+
+    old/new_transform: the instance's previous and next 4x4 world transforms
+    (the caller — e.g. experiments.rho_sweep subject_follow — tracks them).
+    Returns a new Scene pytree of NumPy arrays.
+    """
+    delta = (np.asarray(new_transform, np.float64)
+             @ np.linalg.inv(np.asarray(old_transform, np.float64)))
+    R = delta[:3, :3].astype(F32)
+    t = delta[:3, 3].astype(F32)
+    Ninv = np.linalg.inv(delta[:3, :3]).T.astype(F32)  # normal transform
+
+    tris = scene.triangles
+    mask = np.asarray(tris.instance_id) == instance_id
+    new_tris = tris
+    cluster_lo = np.asarray(scene.cluster_lo)
+    cluster_hi = np.asarray(scene.cluster_hi)
+    if mask.any():
+        arrs = {f: np.array(getattr(tris, f))
+                for f in ("v0", "e1", "e2", "n0", "n1", "n2")}
+        arrs["v0"][mask] = arrs["v0"][mask] @ R.T + t
+        for f in ("e1", "e2"):
+            arrs[f][mask] = arrs[f][mask] @ R.T
+        for f in ("n0", "n1", "n2"):
+            n = arrs[f][mask] @ Ninv.T
+            ln = np.linalg.norm(n, axis=-1, keepdims=True)
+            arrs[f][mask] = (n / np.maximum(ln, F32(1e-30))).astype(F32)
+
+        W, c, degenerate = _woop_matrices(arrs["v0"][mask], arrs["e1"][mask],
+                                          arrs["e2"][mask])
+        A = np.concatenate([W, c[:, :, None]], axis=2)   # (n, 3, 4)
+        woop_o = np.array(tris.woop_o)
+        woop_d = np.array(tris.woop_d)
+        woop_o[:, :, mask] = A.transpose(1, 2, 0)
+        woop_d[:, :, mask] = W.transpose(1, 2, 0)
+        valid = np.array(tris.valid)
+        valid[mask] &= ~degenerate
+
+        # recompute AABBs only for clusters containing touched rows
+        cs = scene.cluster_size
+        touched = np.unique(np.nonzero(mask)[0] // cs)
+        v0, e1, e2 = arrs["v0"], arrs["e1"], arrs["e2"]
+        FAR = F32(1e30)
+        for ci in touched:
+            rows = slice(ci * cs, (ci + 1) * cs)
+            lo = np.minimum(np.minimum(v0[rows], v0[rows] + e1[rows]),
+                            v0[rows] + e2[rows])
+            hi = np.maximum(np.maximum(v0[rows], v0[rows] + e1[rows]),
+                            v0[rows] + e2[rows])
+            lo[~valid[rows]] = FAR
+            hi[~valid[rows]] = -FAR
+            cluster_lo[ci] = lo.min(axis=0)
+            cluster_hi[ci] = hi.max(axis=0)
+        new_tris = tris._replace(valid=valid, woop_o=woop_o, woop_d=woop_d,
+                                 **arrs)
+
+    tor = scene.tori
+    mask_t = np.asarray(tor.instance_id) == instance_id
+    new_tor = tor
+    if mask_t.any():
+        o2w = np.array(tor.obj_to_world)
+        w2o = np.array(tor.world_to_obj)
+        center = np.array(tor.center)
+        bound = np.array(tor.bound_radius)
+        for i in np.nonzero(mask_t)[0]:
+            full = np.concatenate([o2w[i], [[0, 0, 0, 1]]], axis=0)
+            new_full = delta @ full
+            o2w[i] = new_full[:3].astype(F32)
+            w2o[i] = np.linalg.inv(new_full)[:3].astype(F32)
+            center[i] = new_full[:3, 3].astype(F32)
+            smax = float(np.linalg.norm(new_full[:3, :3], ord=2))
+            R_t = float(np.asarray(tor.major_radius)[i]
+                        + np.asarray(tor.minor_radius)[i])
+            bound[i] = F32(R_t * smax)
+        new_tor = tor._replace(obj_to_world=o2w, world_to_obj=w2o,
+                               center=center, bound_radius=bound)
+
+    return dataclasses.replace(scene, triangles=new_tris, tori=new_tor,
+                               cluster_lo=cluster_lo.astype(F32),
+                               cluster_hi=cluster_hi.astype(F32))
 
 
 def _mip_chain(img: np.ndarray) -> "list[np.ndarray]":
@@ -180,7 +275,8 @@ def build_scene(
         materials_rows = [{}]
 
     # --- flatten triangle instances to world space ------------------------
-    v0s, e1s, e2s, n0s, n1s, n2s, uv0s, uv1s, uv2s, mids, iids = ([] for _ in range(11))
+    (v0s, e1s, e2s, n0s, n1s, n2s, uv0s, uv1s, uv2s, c0s, c1s, c2s, mids,
+     iids) = ([] for _ in range(14))
     tori_rows = []
     for inst_id, inst in enumerate(scene_def.instances):
         model = scene_def.models[inst.obj_index]
@@ -205,6 +301,11 @@ def build_scene(
         uv0s.append(uv[idx[:, 0]])
         uv1s.append(uv[idx[:, 1]])
         uv2s.append(uv[idx[:, 2]])
+        col = (mesh.colors if getattr(mesh, "colors", None) is not None
+               else np.ones((len(pos_w), 3), F32))
+        c0s.append(col[idx[:, 0]])
+        c1s.append(col[idx[:, 1]])
+        c2s.append(col[idx[:, 2]])
         mids.append(mesh.mat_index.astype(I32) + I32(mat_offsets[inst.obj_index]))
         iids.append(np.full(len(idx), inst_id, dtype=I32))
 
@@ -218,12 +319,16 @@ def build_scene(
         uv0 = np.concatenate(uv0s).astype(F32)
         uv1 = np.concatenate(uv1s).astype(F32)
         uv2 = np.concatenate(uv2s).astype(F32)
+        c0 = np.concatenate(c0s).astype(F32)
+        c1 = np.concatenate(c1s).astype(F32)
+        c2 = np.concatenate(c2s).astype(F32)
         mat_id = np.concatenate(mids)
         inst_ids = np.concatenate(iids)
     else:
         v0 = np.zeros((0, 3), F32)
         e1 = e2 = n0 = n1 = n2 = v0
         uv0 = uv1 = uv2 = np.zeros((0, 2), F32)
+        c0 = c1 = c2 = np.zeros((0, 3), F32)
         mat_id = np.zeros((0,), I32)
         inst_ids = np.zeros((0,), I32)
 
@@ -236,8 +341,9 @@ def build_scene(
                  * np.einsum("ti,ti->t", e2, e2)).astype(np.float64)
         keep = (area2 > 1e-12 * edge2) & (area2 > 0.0) & np.isfinite(area2)
         if not keep.all():
-            v0, e1, e2, n0, n1, n2, uv0, uv1, uv2 = (
-                a[keep] for a in (v0, e1, e2, n0, n1, n2, uv0, uv1, uv2))
+            v0, e1, e2, n0, n1, n2, uv0, uv1, uv2, c0, c1, c2 = (
+                a[keep] for a in (v0, e1, e2, n0, n1, n2, uv0, uv1, uv2,
+                                  c0, c1, c2))
             mat_id, inst_ids = mat_id[keep], inst_ids[keep]
 
     n_real = v0.shape[0]
@@ -250,6 +356,9 @@ def build_scene(
     # Morton sort + fixed chunking. `slots` maps padded cluster positions to
     # original triangle rows (-1 = padding). ----------------------------------
     slots = None
+    if n_real <= cluster_size:
+        use_native = False  # one cluster: SAH could still split it, and
+        # sub-128 cluster widths break the kernel's lane-slice alignment
     if n_real > 0 and use_native:
         try:
             from toroidal_ray_tracing_tpu.io import native  # noqa: PLC0415
@@ -302,6 +411,9 @@ def build_scene(
     uv0 = take(uv0)
     uv1 = take(uv1)
     uv2 = take(uv2)
+    c0 = take(c0)
+    c1 = take(c1)
+    c2 = take(c2)
     mat_id = take(mat_id)
     inst_ids = take(inst_ids, fill=-1)
 
@@ -328,7 +440,7 @@ def build_scene(
 
     triangles = TriangleSoup(
         v0=v0, e1=e1, e2=e2, n0=n0, n1=n1, n2=n2,
-        uv0=uv0, uv1=uv1, uv2=uv2,
+        uv0=uv0, uv1=uv1, uv2=uv2, c0=c0, c1=c1, c2=c2,
         mat_id=mat_id, instance_id=inst_ids, valid=valid,
         woop_o=woop_o, woop_d=woop_d,
     )

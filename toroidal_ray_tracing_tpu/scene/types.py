@@ -233,6 +233,9 @@ class TriangleSoup(NamedTuple):
     uv0: Any         # (T, 2)
     uv1: Any         # (T, 2)
     uv2: Any         # (T, 2)
+    c0: Any          # (T, 3) per-vertex colors (Vertex.color,
+    c1: Any          #   host_device.h:109-115 — carried for ABI parity;
+    c2: Any          #   the reference's RT path never samples them either)
     mat_id: Any      # (T,) i32 into the global material table
     instance_id: Any # (T,) i32 (instanceCustomIndex analog)
     valid: Any       # (T,) bool — False for padding rows
