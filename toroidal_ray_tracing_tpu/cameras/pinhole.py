@@ -23,6 +23,44 @@ from toroidal_ray_tracing_tpu.utils import math3d
 F32 = np.float32
 
 
+def pixel_coords(xp, width: int, height: int, block: int = 1):
+    """Pixel (px, py) for flat index i, float32.
+
+    block > 1 emits pixels in block-major order (b x b tiles, row-major
+    within and across tiles): consecutive ray indices then form compact
+    screen patches, so the trace kernels' per-ray-tile culling sees tight
+    frusta instead of full-width scanline bands. Callers un-swizzle with
+    `block_unswizzle`."""
+    i = xp.arange(width * height, dtype=np.int32)
+    if block <= 1:
+        return (i % width).astype(F32), (i // width).astype(F32)
+    b = block
+    wb = width // b
+    blk = i // (b * b)
+    off = i % (b * b)
+    px = (blk % wb) * b + off % b
+    py = (blk // wb) * b + off // b
+    return px.astype(F32), py.astype(F32)
+
+
+def pick_block(width: int, height: int) -> int:
+    """Largest supported block size dividing both dimensions."""
+    for b in (32, 24, 16, 12, 8, 6, 4, 3, 2):
+        if width % b == 0 and height % b == 0:
+            return b
+    return 1
+
+
+def block_unswizzle(xp, a, width: int, height: int, block: int):
+    """(H*W, C) block-major -> (H, W, C) row-major."""
+    c = a.shape[-1]
+    if block <= 1:
+        return a.reshape(height, width, c)
+    b = block
+    a = a.reshape(height // b, width // b, b, b, c)
+    return xp.transpose(a, (0, 2, 1, 3, 4)).reshape(height, width, c)
+
+
 @dataclasses.dataclass(frozen=True)
 class PinholeCamera:
     eye: tuple = (10.0, 0.0, 0.0)     # reference default pose: lookat (0,0,0)
@@ -51,7 +89,7 @@ class PinholeCamera:
 
     @staticmethod
     def device_rays(params, width: int, height: int, settings=None, xp=None,
-                    jitter=None):
+                    jitter=None, block: int = 1):
         """Fully traceable raygen: pixel indices come from an on-device
         arange, so a jitted frame moves ZERO per-ray data over the host link
         (the old host-meshgrid path shipped ~16 MB per 1080p frame through
@@ -60,9 +98,7 @@ class PinholeCamera:
             import jax.numpy as xp  # noqa: PLC0415
         view_inv, proj_inv = params
 
-        i = xp.arange(width * height, dtype=np.int32)
-        px = (i % width).astype(F32)
-        py = (i // width).astype(F32)
+        px, py = pixel_coords(xp, width, height, block)
         if jitter is not None:
             px = px + jitter[:, 0]
             py = py + jitter[:, 1]

@@ -77,9 +77,11 @@ class ToroidalCamera:
 
     @staticmethod
     def device_rays(params, width: int, height: int, settings=None, xp=None,
-                    jitter=None):
+                    jitter=None, block: int = 1):
         """Fully traceable raygen (pixel indices from an on-device arange —
         no per-ray host->device traffic; see PinholeCamera.device_rays)."""
+        from toroidal_ray_tracing_tpu.cameras.pinhole import pixel_coords
+
         if xp is None:
             import jax.numpy as xp  # noqa: PLC0415
         eye, ang = params
@@ -88,9 +90,7 @@ class ToroidalCamera:
 
         d_alfa = F32(360.0) / F32(width)
         d_beta = F32(360.0) / F32(height)
-        i = xp.arange(width * height, dtype=np.int32)
-        px = (i % width).astype(F32)
-        py = (i // width).astype(F32)
+        px, py = pixel_coords(xp, width, height, block)
         if jitter is not None:
             px = px + jitter[:, 0]
             py = py + jitter[:, 1]

@@ -52,8 +52,10 @@ TORUS_RAY_TILE = 1024  # rays per grid step (torus kernel; the quartic DAG is
                        # ~400 SSA values deep — 64-sublane x 1024-lane pair
                        # tiles keep the Mosaic scoped-vmem stack in budget;
                        # 64 x 2048 fails to compile)
-TORUS_TILE = 64        # max tori per tile (sublane axis; adapts down to a
-                       # multiple of 8 for small torus counts)
+TORUS_TILE = 32        # max tori per tile (sublane axis; adapts down to a
+                       # multiple of 8 for small torus counts; swept on the
+                       # 1k-instance grid: 32 edges out 64, 8/16 lose to
+                       # per-step overhead)
 
 _DN0 = (((0,), (0,)), ((), ()))  # contract dim 0 of both operands
 
@@ -300,8 +302,8 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
 # ---------------------------------------------------------------------------
 
 
-def _torus_kernel(o_ref, d_ref, tmax_ref, w2o_ref, rad_ref, sph_ref,
-                  *refs, torus_tile: int, emit_attrs: bool):
+def _torus_kernel(gsph_ref, o_ref, d_ref, tmax_ref, w2o_ref, rad_ref,
+                  sph_ref, *refs, torus_tile: int, emit_attrs: bool):
     """One (ray tile, torus tile) pair per grid step.
 
     Per-torus fields are natural (Kt, 1) column slices; per-ray data is
@@ -311,6 +313,10 @@ def _torus_kernel(o_ref, d_ref, tmax_ref, w2o_ref, rad_ref, sph_ref,
     w2o: (K, 12) — rows of the 3x4 world->object transform per torus.
     rad: (K, 2)  — [major, minor] (minor < 0 => padding, never hits).
     sph: (K, 4)  — world bounding sphere [cx, cy, cz, radius].
+    gsph: (G, 4) in SMEM — one bounding sphere per torus TILE: whole
+    (ray-tile x torus-tile) steps skip on 4 scalar reads + one (1, R)
+    sphere test before any per-torus work (with block-swizzled rays a
+    tile is a compact frustum, so most tile pairs miss).
 
     With emit_attrs, a per-torus material table mat_ref (Kt, 12) rides
     along and a (15, R) output carries the winner's world-space normal
@@ -421,7 +427,20 @@ def _torus_kernel(o_ref, d_ref, tmax_ref, w2o_ref, rad_ref, sph_ref,
             new = jnp.concatenate([nrm, mat], axis=0)
             attr_out[...] = jnp.where(better, new, attr_out[...])
 
-    @pl.when(jnp.any(tmax > TMIN))  # dead tiles (tmax=0 bounce cull) skip
+    # group-sphere prepass: 4 SMEM scalars vs the whole ray tile
+    gx, gy, gz, gr = (gsph_ref[j, 0], gsph_ref[j, 1], gsph_ref[j, 2],
+                      gsph_ref[j, 3])
+    gmx, gmy, gmz = gx - ox, gy - oy, gz - oz     # (1, R)
+    gqx = gmy * dz - gmz * dy
+    gqy = gmz * dx - gmx * dz
+    gqz = gmx * dy - gmy * dx
+    gd2 = dx * dx + dy * dy + dz * dz
+    g_near = gqx * gqx + gqy * gqy + gqz * gqz <= gr * gr * gd2
+    g_proj = gmx * dx + gmy * dy + gmz * dz
+    g_m2 = gmx * gmx + gmy * gmy + gmz * gmz
+    g_hit = g_near & ((g_proj >= 0.0) | (g_m2 <= gr * gr)) & (tmax > TMIN)
+
+    @pl.when(jnp.any(g_hit))  # dead/missing tiles skip everything
     def _run():
         sph = sph_ref[...]                        # (Kt, 4)
         cx, cy, cz, cr = (sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4])
@@ -487,10 +506,25 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     tor_spec = lambda w: pl.BlockSpec(  # noqa: E731
         (torus_tile, w), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
 
+    # per-tile group bounding spheres (for the kernel's whole-tile skip)
+    G = Kp // torus_tile
+    gc3 = sph[:, :3].reshape(G, torus_tile, 3)
+    gr1 = sph[:, 3].reshape(G, torus_tile, 1)
+    alive = (rad[:, 1] > 0.0).reshape(G, torus_tile, 1)
+    lo = jnp.min(jnp.where(alive, gc3 - gr1, jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(alive, gc3 + gr1, -jnp.inf), axis=1)
+    empty = ~jnp.any(alive, axis=1)                       # (G, 1)
+    gc = jnp.where(empty, F32(1e30), (lo + hi) * 0.5)     # (G, 3)
+    grad = jnp.max(jnp.where(
+        alive, jnp.linalg.norm(gc3 - gc[:, None, :], axis=-1,
+                               keepdims=True) + gr1, 0.0), axis=1)
+    gsph = jnp.concatenate([gc, jnp.where(empty, F32(0.0), grad)], axis=1)
+
     emit_attrs = mat_table is not None
-    in_specs = [ray_spec, ray_spec, row_spec,
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem, ray_spec, ray_spec, row_spec,
                 tor_spec(12), tor_spec(2), tor_spec(4)]
-    operands = [oh, d4, tm, w2o_rows, rad, sph]
+    operands = [gsph, oh, d4, tm, w2o_rows, rad, sph]
     out_specs = [row_spec, row_spec]
     out_shape = [
         jax.ShapeDtypeStruct((1, n), F32),

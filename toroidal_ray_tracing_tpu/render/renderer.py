@@ -39,16 +39,26 @@ def _frame_jit(scene, settings, cam_params, key, cam_cls, width, height,
                backend, use_jitter):
     """Raygen + wavefront trace fused in ONE jit: per-ray data never crosses
     the host link (the split raygen->device_put->trace path moved ~16 MB per
-    1080p frame through the TPU tunnel — several times the trace itself)."""
+    1080p frame through the TPU tunnel — several times the trace itself).
+
+    Rays are traced in block-major pixel order so each kernel ray tile is a
+    compact screen patch (tight cull frusta) rather than a full-width
+    scanline band; outputs are un-swizzled back to row-major (H, W, 3) on
+    device. Returns image-shaped arrays."""
+    from toroidal_ray_tracing_tpu.cameras.pinhole import (block_unswizzle,
+                                                          pick_block)
+
+    block = pick_block(width, height)
     if use_jitter:
         jitter = jax.random.uniform(key, (width * height, 2), F32)
     else:
         jitter = None
     origins, dirs = cam_cls.device_rays(cam_params, width, height, settings,
-                                        xp=jnp, jitter=jitter)
+                                        xp=jnp, jitter=jitter, block=block)
     color, hitpos, nrays = trace_rays(scene, settings, origins, dirs,
                                       backend=backend)
-    return color, hitpos, origins, dirs, nrays
+    unsw = lambda a: block_unswizzle(jnp, a, width, height, block)  # noqa: E731
+    return unsw(color), unsw(hitpos), unsw(origins), unsw(dirs), nrays
 
 
 def tonemap(image):
