@@ -427,7 +427,10 @@ def _torus_kernel(gsph_ref, o_ref, d_ref, tmax_ref, w2o_ref, rad_ref,
             new = jnp.concatenate([nrm, mat], axis=0)
             attr_out[...] = jnp.where(better, new, attr_out[...])
 
-    # group-sphere prepass: 4 SMEM scalars vs the whole ray tile
+    # group-sphere prepass: 4 SMEM scalars vs the whole ray tile. The
+    # conservative entry distance (proj - r|d|)/|d|^2 must also beat tmax —
+    # with the triangle pass's hits pre-folded into tmax (closest_hit_pallas
+    # runs triangles first), groups behind nearer geometry skip outright.
     gx, gy, gz, gr = (gsph_ref[j, 0], gsph_ref[j, 1], gsph_ref[j, 2],
                       gsph_ref[j, 3])
     gmx, gmy, gmz = gx - ox, gy - oy, gz - oz     # (1, R)
@@ -438,7 +441,9 @@ def _torus_kernel(gsph_ref, o_ref, d_ref, tmax_ref, w2o_ref, rad_ref,
     g_near = gqx * gqx + gqy * gqy + gqz * gqz <= gr * gr * gd2
     g_proj = gmx * dx + gmy * dy + gmz * dz
     g_m2 = gmx * gmx + gmy * gmy + gmz * gmz
-    g_hit = g_near & ((g_proj >= 0.0) | (g_m2 <= gr * gr)) & (tmax > TMIN)
+    g_front = (g_proj >= 0.0) | (g_m2 <= gr * gr)
+    g_close = g_proj - gr * jnp.sqrt(gd2) <= tmax * gd2
+    g_hit = g_near & g_front & g_close & (tmax > TMIN)
 
     @pl.when(jnp.any(g_hit))  # dead/missing tiles skip everything
     def _run():
@@ -669,8 +674,12 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
                     mat_table, geom.tor_offset, k_local, axis=0)
         else:
             mat_table = None
+        # fold triangle hits into the torus query's tmax: torus groups (and
+        # individual tori) behind nearer triangle geometry skip the quartic
+        # via the kernels' entry-distance tests
+        tor_tmax = jnp.minimum(tmax, t_best) if has_tris else tmax
         out = torus_closest_hit_pallas(
-            origins, dirs, tmax, geom.tor_w2o, geom.tor_major,
+            origins, dirs, tor_tmax, geom.tor_w2o, geom.tor_major,
             geom.tor_minor, geom.tor_center, geom.tor_bound,
             mat_table=mat_table)
         kt, ki = out[:2]
