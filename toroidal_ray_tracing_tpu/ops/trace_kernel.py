@@ -442,7 +442,10 @@ def _torus_kernel(gsph_ref, o_ref, d_ref, tmax_ref, w2o_ref, rad_ref,
     g_proj = gmx * dx + gmy * dy + gmz * dz
     g_m2 = gmx * gmx + gmy * gmy + gmz * gmz
     g_front = (g_proj >= 0.0) | (g_m2 <= gr * gr)
-    g_close = g_proj - gr * jnp.sqrt(gd2) <= tmax * gd2
+    # conservative sphere entry distance must beat both tmax (pre-capped by
+    # the triangle pass) and the running best torus hit from earlier tiles
+    tlim = jnp.minimum(tmax, t_out[...])
+    g_close = g_proj - gr * jnp.sqrt(gd2) <= tlim * gd2
     g_hit = g_near & g_front & g_close & (tmax > TMIN)
 
     @pl.when(jnp.any(g_hit))  # dead/missing tiles skip everything
