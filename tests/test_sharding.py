@@ -132,6 +132,27 @@ def test_prim_shards_carry_tight_cluster_bounds():
 
 
 @needs_8
+@pytest.mark.parametrize("n_prims", [1, 2])
+def test_hybrid_multihost_mesh(setup, n_prims):
+    """multihost.make_hybrid_mesh builds a host-major ("rays", "prims") mesh
+    (single-process here: a 1-host DCN axis over the same code path a pod
+    would take) and renders identically through it."""
+    from toroidal_ray_tracing_tpu.parallel import multihost
+
+    multihost.init_distributed()  # no-op single process
+    mesh = multihost.make_hybrid_mesh(n_prim_shards=n_prims)
+    assert mesh.axis_names == ("rays", "prims")
+    assert mesh.shape["rays"] * mesh.shape["prims"] == len(jax.devices())
+    scene, cam, st, ref = setup
+    out = render_sharded(scene, cam, RES, RES, st, mesh=mesh)
+    rmse = float(np.sqrt(np.mean((np.asarray(out["image"]) - ref) ** 2)))
+    assert rmse < 1e-6
+
+    row0, rows = multihost.host_band(RES, RES)
+    assert (row0, rows) == (0, RES)  # single host owns the whole frame
+
+
+@needs_8
 @pytest.mark.parametrize("shape", [(4, 2), (1, 8)])
 def test_pallas_backend_sharded(setup, shape):
     """Fused-kernel path composes with primitive sharding (interpret mode)."""

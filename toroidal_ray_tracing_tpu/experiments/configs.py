@@ -53,6 +53,27 @@ class Scenario:
                10.0 * math.sin(a))
         return PinholeCamera(eye=eye, center=(0.0, 0.5, 0.0))
 
+    def cameras_seq(self, frames: int):
+        """Per-frame cameras for sequence (scan-in-one-jit) rendering. Static
+        scenarios get an orbit of the configured eye about the vertical axis
+        through the look-at center — the reference's frame loop likewise
+        animates the camera between captures (CameraManip.updateAnim,
+        VKT/ray_tracing__before/main.cpp:296)."""
+        if self.animate_frames:
+            return [self.camera_at(f) for f in range(frames)]
+        eye = np.asarray(self.camera.eye, np.float64)
+        ctr = np.asarray(self.camera.center, np.float64)
+        rel = eye - ctr
+        cams = []
+        for f in range(frames):
+            a = 2.0 * math.pi * f / frames
+            c, s = math.cos(a), math.sin(a)
+            rot = np.array([rel[0] * c + rel[2] * s, rel[1],
+                            -rel[0] * s + rel[2] * c])
+            cams.append(PinholeCamera(eye=tuple(ctr + rot),
+                                      center=tuple(ctr)))
+        return cams
+
     def settings(self):
         return RenderSettings.default(max_depth=self.max_depth)
 
@@ -84,11 +105,38 @@ SCENARIOS = {
 
 
 def run_scenario(num: int, backend: str = "jnp", out_dir: str | None = None,
-                 frames: int | None = None):
+                 frames: int | None = None, sequence: bool = False):
     sc = SCENARIOS[num]
     scene = sc.build()
     st = sc.settings()
     n_frames = frames if frames is not None else max(sc.animate_frames, 1)
+
+    if sequence:
+        # sustained-throughput mode: all frames scanned inside one jit
+        # (render.render_sequence) — no per-frame dispatch round trips, as
+        # in the reference's continuous frame loop (main.cpp:269-403)
+        from toroidal_ray_tracing_tpu.render import render_sequence
+
+        n_frames = max(n_frames, 2)
+        cams = sc.cameras_seq(n_frames)
+
+        def run():
+            out = render_sequence(scene, cams, sc.width, sc.height, st,
+                                  backend=backend, spp=sc.spp,
+                                  keep_images=False)
+            return float(out["rays_traced"])  # fetch drains the queue
+
+        total = run()  # compile + warm up
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            total = run()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return None, {"scenario": sc.name, "frames": n_frames,
+                      "rays_per_frame": total / n_frames,
+                      "mrays_per_s": total / best / 1e6,
+                      "protocol": "sequence"}
 
     # Timing truth on the TPU tunnel: block_until_ready() can return before
     # the device has executed anything (fire-and-forget dispatch) — only a
@@ -136,8 +184,12 @@ def main(argv=None):
     ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--sequence", action="store_true",
+                    help="scan all frames inside one jit (sustained "
+                         "throughput, no per-frame dispatch round trips)")
     args = ap.parse_args(argv)
-    _, stats = run_scenario(args.run, args.backend, args.out, args.frames)
+    _, stats = run_scenario(args.run, args.backend, args.out, args.frames,
+                            sequence=args.sequence)
     print(stats)
 
 

@@ -302,23 +302,36 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
 # ---------------------------------------------------------------------------
 
 
-def _torus_kernel(gsph_ref, o_ref, d_ref, tmax_ref, w2o_ref, rad_ref,
-                  sph_ref, *refs, torus_tile: int, emit_attrs: bool):
-    """One (ray tile, torus tile) pair per grid step.
+def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
+                  rad_ref, lo_ref, hi_ref, *refs, torus_tile: int,
+                  emit_attrs: bool):
+    """One grid step = one ray tile vs ALL tori (group-culled).
 
-    Per-torus fields are natural (Kt, 1) column slices; per-ray data is
-    (1, R) rows; pair tiles are (Kt, R). Output blocks are revisited across
-    the inner (torus) grid dimension and accumulate the running argmin.
+    The full per-torus tables stay VMEM-resident (32 f32/torus — ~128 KB at
+    1k tori) and an in-kernel fori_loop walks torus *groups* of `torus_tile`
+    in the front-to-back order `order_ref` (SMEM, sorted by group distance
+    from the dispatch's mean ray origin). Near groups fill the running best
+    hit first, so the group entry-distance test prunes far groups outright.
+    (The previous design made torus groups a second grid dimension: at 2M
+    rays x 32 groups that is 64k grid steps, each paying fixed
+    DMA/sequencing cost even when the group bound missed.)
 
-    w2o: (K, 12) — rows of the 3x4 world->object transform per torus.
-    rad: (K, 2)  — [major, minor] (minor < 0 => padding, never hits).
-    sph: (K, 4)  — world bounding sphere [cx, cy, cz, radius].
-    gsph: (G, 4) in SMEM — one bounding sphere per torus TILE: whole
-    (ray-tile x torus-tile) steps skip on 4 scalar reads + one (1, R)
-    sphere test before any per-torus work (with block-swizzled rays a
-    tile is a compact frustum, so most tile pairs miss).
+    Culling is slab-tested world AABBs at both levels — much tighter than
+    bounding spheres for flat/tilted tori (a 0.35/0.12 grid torus has AABB
+    half-height 0.12 vs sphere radius 0.47, so grazing rays cull ~4x more).
 
-    With emit_attrs, a per-torus material table mat_ref (Kt, 12) rides
+    Per-torus fields are (Kt, 1) column slices of row-major tables; per-ray
+    data is (1, R) rows; pair tiles are (Kt, R).
+
+    w2o: (Kp, 12) — rows of the 3x4 world->object transform per torus.
+    rad: (Kp, 2)  — [major, minor] (minor < 0 => padding, never hits).
+    lo/hi: (Kp, 3) — world AABBs (padding rows are inverted boxes).
+    gbox: (G, 6) in SMEM — [lo, hi] per torus group: groups skip on 6
+    scalar reads + one (1, R) slab test before any per-torus work (with
+    block-swizzled rays a ray tile is a compact frustum, so most
+    (tile, group) pairs miss).
+
+    With emit_attrs, a per-torus material table mat_ref (Kp, 12) rides
     along and a (15, R) output carries the winner's world-space normal
     (rows 0-2, unnormalized) + material fields (rows 3-14) — computed
     in-kernel so shade() needs no per-ray gathers.
@@ -328,8 +341,7 @@ def _torus_kernel(gsph_ref, o_ref, d_ref, tmax_ref, w2o_ref, rad_ref,
     else:
         t_out, idx_out = refs
     R = o_ref.shape[1]
-    j = pl.program_id(1)
-    base = j * torus_tile
+    n_groups = w2o_ref.shape[0] // torus_tile
 
     oh = o_ref[...]
     d = d_ref[...]
@@ -337,16 +349,17 @@ def _torus_kernel(gsph_ref, o_ref, d_ref, tmax_ref, w2o_ref, rad_ref,
 
     ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]   # (1, R)
     dx, dy, dz = d[0:1], d[1:2], d[2:3]
+    invx, invy, invz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
 
-    @pl.when(j == 0)
-    def _():
-        t_out[...] = jnp.full((1, R), BIG, F32)
-        idx_out[...] = jnp.zeros((1, R), jnp.int32)
-        if emit_attrs:
-            attr_out[...] = jnp.zeros((15, R), F32)
+    t_out[...] = jnp.full((1, R), BIG, F32)
+    idx_out[...] = jnp.zeros((1, R), jnp.int32)
+    if emit_attrs:
+        attr_out[...] = jnp.zeros((15, R), F32)
 
-    def _quartic(cand):
-        w = w2o_ref[...]                          # (Kt, 12)
+    any_live = jnp.any(tmax > TMIN)  # dead tiles (tmax=0 bounce cull) skip
+
+    def _quartic(base, cand):
+        w = w2o_ref[pl.ds(base, torus_tile), :]   # (Kt, 12)
 
         def col(i):
             return w[:, i:i + 1]
@@ -359,7 +372,7 @@ def _torus_kernel(gsph_ref, o_ref, d_ref, tmax_ref, w2o_ref, rad_ref,
         dyo = col(4) * dx + col(5) * dy + col(6) * dz
         dzo = col(8) * dx + col(9) * dy + col(10) * dz
 
-        rad = rad_ref[...]                        # (Kt, 2)
+        rad = rad_ref[pl.ds(base, torus_tile), :]  # (Kt, 2)
         Rmaj = rad[:, 0:1]
         rmin = rad[:, 1:2]
 
@@ -421,53 +434,62 @@ def _torus_kernel(gsph_ref, o_ref, d_ref, tmax_ref, w2o_ref, rad_ref,
                 jnp.sum(pickf * nwy, axis=0, keepdims=True),
                 jnp.sum(pickf * nwz, axis=0, keepdims=True)], axis=0)
             mat = jax.lax.dot_general(
-                mat_ref[...], pickf, _DN0,
+                mat_ref[pl.ds(base, torus_tile), :], pickf, _DN0,
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)   # (12, R)
             new = jnp.concatenate([nrm, mat], axis=0)
             attr_out[...] = jnp.where(better, new, attr_out[...])
 
-    # group-sphere prepass: 4 SMEM scalars vs the whole ray tile. The
-    # conservative entry distance (proj - r|d|)/|d|^2 must also beat tmax —
-    # with the triangle pass's hits pre-folded into tmax (closest_hit_pallas
-    # runs triangles first), groups behind nearer geometry skip outright.
-    gx, gy, gz, gr = (gsph_ref[j, 0], gsph_ref[j, 1], gsph_ref[j, 2],
-                      gsph_ref[j, 3])
-    gmx, gmy, gmz = gx - ox, gy - oy, gz - oz     # (1, R)
-    gqx = gmy * dz - gmz * dy
-    gqy = gmz * dx - gmx * dz
-    gqz = gmx * dy - gmy * dx
-    gd2 = dx * dx + dy * dy + dz * dz
-    g_near = gqx * gqx + gqy * gqy + gqz * gqz <= gr * gr * gd2
-    g_proj = gmx * dx + gmy * dy + gmz * dz
-    g_m2 = gmx * gmx + gmy * gmy + gmz * gmz
-    g_front = (g_proj >= 0.0) | (g_m2 <= gr * gr)
-    # conservative sphere entry distance must beat both tmax (pre-capped by
-    # the triangle pass) and the running best torus hit from earlier tiles
-    tlim = jnp.minimum(tmax, t_out[...])
-    g_close = g_proj - gr * jnp.sqrt(gd2) <= tlim * gd2
-    g_hit = g_near & g_front & g_close & (tmax > TMIN)
+    def slab(lox, hix, loy, hiy, loz, hiz, tlim):
+        """Entry/exit interval of the ray(s) against AABB slabs; hit iff the
+        entry beats both the exit, the running best, and tmax."""
+        t0x = (lox - ox) * invx
+        t1x = (hix - ox) * invx
+        t0y = (loy - oy) * invy
+        t1y = (hiy - oy) * invy
+        t0z = (loz - oz) * invz
+        t1z = (hiz - oz) * invz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        return (tn <= jnp.minimum(tf, tlim)) & (tf >= TMIN)
 
-    @pl.when(jnp.any(g_hit))  # dead/missing tiles skip everything
-    def _run():
-        sph = sph_ref[...]                        # (Kt, 4)
-        cx, cy, cz, cr = (sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4])
+    def group(g, _):
+        jo = order_ref[g]
+        base = pl.multiple_of(jo * torus_tile, torus_tile)
 
-        # ray/sphere prepass: |cross(c-o, d)|^2 <= r^2 |d|^2, not behind
-        mx, my, mz = cx - ox, cy - oy, cz - oz    # (Kt, R)
-        qx = my * dz - mz * dy
-        qy = mz * dx - mx * dz
-        qz = mx * dy - my * dx
-        d2 = dx * dx + dy * dy + dz * dz
-        near = qx * qx + qy * qy + qz * qz <= cr * cr * d2
-        proj = mx * dx + my * dy + mz * dz
-        m2 = mx * mx + my * my + mz * mz
-        ahead = (proj >= 0.0) | (m2 <= cr * cr)
-        cand = near & ahead & (tmax > TMIN)       # (Kt, R)
+        # group-AABB prepass: 6 SMEM scalars vs the whole ray tile. The
+        # slab entry distance must beat tmax — with the triangle pass's
+        # hits pre-folded into tmax (closest_hit_pallas runs triangles
+        # first), groups behind nearer geometry skip outright; the
+        # front-to-back visit order makes the running-best term prune far
+        # groups too.
+        tlim = jnp.minimum(tmax, t_out[...])
+        g_hit = slab(gbox_ref[jo, 0], gbox_ref[jo, 3],
+                     gbox_ref[jo, 1], gbox_ref[jo, 4],
+                     gbox_ref[jo, 2], gbox_ref[jo, 5],
+                     tlim) & (tmax > TMIN)
 
-        @pl.when(jnp.any(cand))
-        def _():
-            _quartic(cand)
+        @pl.when(jnp.any(g_hit))  # missed/occluded groups skip everything
+        def _run():
+            lo = lo_ref[pl.ds(base, torus_tile), :]   # (Kt, 3)
+            hi = hi_ref[pl.ds(base, torus_tile), :]
+            cand = slab(lo[:, 0:1], hi[:, 0:1], lo[:, 1:2], hi[:, 1:2],
+                        lo[:, 2:3], hi[:, 2:3], tlim) \
+                & (tmax > TMIN)                       # (Kt, R)
+
+            @pl.when(jnp.any(cand))
+            def _():
+                _quartic(base, cand)
+
+        return 0
+
+    @pl.when(any_live)
+    def _():
+        jax.lax.fori_loop(0, n_groups, group, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("torus_tile", "ray_tile"))
@@ -488,8 +510,6 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     # per-torus fields row-major: field slices are (Kt, 1) columns in-kernel
     w2o_rows = jnp.asarray(w2o).reshape(K, 12)
     rad = jnp.stack([jnp.asarray(major), jnp.asarray(minor)], axis=1)
-    sph = jnp.concatenate([jnp.asarray(center),
-                           jnp.asarray(bound)[:, None]], axis=1)
     if Kp != K:
         pad = Kp - K
         w2o_rows = jnp.concatenate(
@@ -499,40 +519,64 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
         rad = jnp.concatenate(
             [rad, jnp.tile(jnp.asarray([[0.0, -1.0]], F32), (pad, 1))],
             axis=0)
-        sph = jnp.concatenate(
-            [sph, jnp.tile(jnp.asarray([[1e30, 1e30, 1e30, 0.0]], F32),
-                           (pad, 1))], axis=0)
+
+    # tight world AABBs from the object-space torus box (R+r, r, R+r): the
+    # o2w rotation is the adjugate inverse of w2o's rotation rows, the
+    # world center solves o2w t = -inv(rot) @ t, and half-extents use the
+    # |M| h trick. Much tighter than the center/bound sphere for flat or
+    # tilted tori, and derived here so GeomSlice's ABI is unchanged.
+    r0 = w2o_rows[:, 0:3]
+    r1 = w2o_rows[:, 4:7]
+    r2 = w2o_rows[:, 8:11]
+    tv = jnp.stack([w2o_rows[:, 3], w2o_rows[:, 7], w2o_rows[:, 11]], axis=1)
+    c0 = jnp.cross(r1, r2)
+    c1 = jnp.cross(r2, r0)
+    c2 = jnp.cross(r0, r1)
+    det = jnp.sum(r0 * c0, axis=1, keepdims=True)
+    inv_det = jnp.where(jnp.abs(det) > F32(1e-30), F32(1.0), F32(0.0)) / \
+        jnp.where(jnp.abs(det) > F32(1e-30), det, F32(1.0))
+    o2w_rot = jnp.stack([c0, c1, c2], axis=2) * inv_det[:, :, None]  # (K,3,3)
+    wc = -jnp.einsum("kij,kj->ki", o2w_rot, tv, precision="highest")
+    rmin_abs = jnp.abs(rad[:, 1])
+    h_obj = jnp.stack([rad[:, 0] + rmin_abs, rmin_abs,
+                       rad[:, 0] + rmin_abs], axis=1)
+    h_w = jnp.einsum("kij,kj->ki", jnp.abs(o2w_rot), h_obj,
+                     precision="highest")
+    alive_k = (rad[:, 1] > 0.0)[:, None]
+    tor_lo = jnp.where(alive_k, wc - h_w, BIG).astype(F32)
+    tor_hi = jnp.where(alive_k, wc + h_w, -BIG).astype(F32)
 
     nt = n // ray_tile
-    n_torus_tiles = Kp // torus_tile
-    # grid: ray tiles outer, torus tiles inner — output blocks depend only on
-    # the ray tile, so revisits across the inner dimension are contiguous
-    ray_spec = pl.BlockSpec((4, ray_tile), lambda i, j: (0, i),
+    # single grid dimension (ray tiles): torus groups are an IN-KERNEL loop
+    # over VMEM-resident tables, so skipped groups cost nothing and the
+    # visit order can be front-to-back
+    ray_spec = pl.BlockSpec((4, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, ray_tile), lambda i, j: (0, i),
+    row_spec = pl.BlockSpec((1, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    tor_spec = lambda w: pl.BlockSpec(  # noqa: E731
-        (torus_tile, w), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    tor_spec = lambda w: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
-    # per-tile group bounding spheres (for the kernel's whole-tile skip)
+    # per-group AABBs (for the kernel's whole-group skip)
     G = Kp // torus_tile
-    gc3 = sph[:, :3].reshape(G, torus_tile, 3)
-    gr1 = sph[:, 3].reshape(G, torus_tile, 1)
-    alive = (rad[:, 1] > 0.0).reshape(G, torus_tile, 1)
-    lo = jnp.min(jnp.where(alive, gc3 - gr1, jnp.inf), axis=1)
-    hi = jnp.max(jnp.where(alive, gc3 + gr1, -jnp.inf), axis=1)
-    empty = ~jnp.any(alive, axis=1)                       # (G, 1)
-    gc = jnp.where(empty, F32(1e30), (lo + hi) * 0.5)     # (G, 3)
-    grad = jnp.max(jnp.where(
-        alive, jnp.linalg.norm(gc3 - gc[:, None, :], axis=-1,
-                               keepdims=True) + gr1, 0.0), axis=1)
-    gsph = jnp.concatenate([gc, jnp.where(empty, F32(0.0), grad)], axis=1)
+    glo = jnp.min(tor_lo.reshape(G, torus_tile, 3), axis=1)
+    ghi = jnp.max(tor_hi.reshape(G, torus_tile, 3), axis=1)
+    gbox = jnp.concatenate([glo, ghi], axis=1)            # (G, 6)
+
+    # front-to-back group visit order: by distance of each group box from
+    # the batch's mean ray origin, so near groups set the running best hit
+    # before far groups are tested (mirrors the triangle kernel's cluster
+    # ordering)
+    mean_o = jnp.mean(origins, axis=0)
+    gdist = jnp.linalg.norm(
+        jnp.maximum(jnp.maximum(glo - mean_o[None, :],
+                                mean_o[None, :] - ghi), 0.0), axis=1)
+    order = jnp.argsort(gdist).astype(jnp.int32)
 
     emit_attrs = mat_table is not None
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_specs = [smem, ray_spec, ray_spec, row_spec,
-                tor_spec(12), tor_spec(2), tor_spec(4)]
-    operands = [gsph, oh, d4, tm, w2o_rows, rad, sph]
+    in_specs = [smem, smem, ray_spec, ray_spec, row_spec,
+                tor_spec(12), tor_spec(2), tor_spec(3), tor_spec(3)]
+    operands = [order, gbox, oh, d4, tm, w2o_rows, rad, tor_lo, tor_hi]
     out_specs = [row_spec, row_spec]
     out_shape = [
         jax.ShapeDtypeStruct((1, n), F32),
@@ -545,14 +589,14 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
                 [mt, jnp.zeros((Kp - K, 12), F32)], axis=0)
         in_specs.append(tor_spec(12))
         operands.append(mt)
-        out_specs.append(pl.BlockSpec((15, ray_tile), lambda i, j: (0, i),
+        out_specs.append(pl.BlockSpec((15, ray_tile), lambda i: (0, i),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((15, n), F32))
 
     out = pl.pallas_call(
         functools.partial(_torus_kernel, torus_tile=torus_tile,
                           emit_attrs=emit_attrs),
-        grid=(nt, n_torus_tiles),
+        grid=(nt,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

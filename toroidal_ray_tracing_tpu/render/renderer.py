@@ -66,6 +66,69 @@ def tonemap(image):
     return jnp.power(jnp.clip(image, 0.0, None), F32(1.0 / 2.2))
 
 
+@functools.partial(jax.jit, static_argnames=("cam_cls", "width", "height",
+                                             "backend", "spp", "keep_images"))
+def _sequence_jit(scene, settings, param_stack, key, cam_cls, width, height,
+                  backend, spp, keep_images):
+    def frame(rays_total, inp):
+        fidx, params = inp
+        acc = None
+        for s in range(max(spp, 1)):
+            sub = jax.random.fold_in(key, fidx * spp + s)
+            color, _, _, _, nr = _frame_jit.__wrapped__(
+                scene, settings, params, sub, cam_cls, width, height,
+                backend, s > 0)
+            acc = color if acc is None else acc + color
+            rays_total = rays_total + nr
+        img = (acc / F32(max(spp, 1))).reshape(height, width, 3)
+        # the probe is a full reduction so XLA cannot slice away per-pixel
+        # shading work when images aren't kept
+        return rays_total, (img if keep_images else jnp.mean(img))
+    n_frames = jax.tree_util.tree_leaves(param_stack)[0].shape[0]
+    total, images = jax.lax.scan(
+        frame, jnp.float32(0), (jnp.arange(n_frames), param_stack))
+    return total, images
+
+
+def render_sequence(scene, cameras, width, height, settings=None,
+                    backend: str = "jnp", spp: int = 1, seed: int = 0,
+                    keep_images: bool = True):
+    """Render an animated frame sequence inside ONE jit.
+
+    The reference's experiment loop renders 60 frames per rho step with the
+    camera animating between them (VKT/ray_tracing__before/main.cpp:269-403,
+    CameraManip.updateAnim at :296) — the GPU pipelines frames without host
+    round trips. This is the TPU equivalent: camera parameters for all
+    frames are stacked and a `lax.scan` steps raygen + the wavefront trace
+    per frame on device, so sustained throughput is not gated on the
+    per-dispatch host RTT (≈40 ms on the TPU tunnel — dominant for small
+    frames).
+
+    cameras: list of camera objects of one class (one per frame).
+    keep_images: False returns only the ray counter (+ a (F,3) probe pixel
+    per frame) — use for throughput measurement or when F x H x W x 3 would
+    not fit HBM.
+
+    Returns {"images": (F, H, W, 3) linear color (if keep_images),
+             "rays_traced": total float}.
+    """
+    if settings is None:
+        settings = RenderSettings.default()
+    settings = autofill_pixel_spread(settings, cameras[0], width, height)
+    scene = _as_device_scene(scene)
+    cam_cls = type(cameras[0])
+    params = [c.ray_params(width, height, settings) for c in cameras]
+    stack = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params)
+    total, images = _sequence_jit(scene, settings, stack,
+                                  jax.random.PRNGKey(seed), cam_cls, width,
+                                  height, backend, spp, keep_images)
+    out = {"rays_traced": total}
+    if keep_images:
+        out["images"] = images
+    return out
+
+
 def autofill_pixel_spread(settings, camera, width, height):
     """Fill RenderSettings.pixel_spread from the camera when unset (0) —
     the reference's sampler is always mipmapped (hello_vulkan.cpp:315-339),
