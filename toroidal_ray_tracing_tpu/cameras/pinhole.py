@@ -89,11 +89,15 @@ class PinholeCamera:
 
     @staticmethod
     def device_rays(params, width: int, height: int, settings=None, xp=None,
-                    jitter=None, block: int = 1):
+                    jitter=None, block: int = 1, rows: bool = False):
         """Fully traceable raygen: pixel indices come from an on-device
         arange, so a jitted frame moves ZERO per-ray data over the host link
         (the old host-meshgrid path shipped ~16 MB per 1080p frame through
-        the TPU tunnel — more wall-clock than the whole trace)."""
+        the TPU tunnel — more wall-clock than the whole trace).
+
+        rows=True emits (3, N) ray ROWS — the trace kernels' native layout;
+        the math is component-wise, so rows come free (stack on axis 0)
+        while the (N, 3) layout needs an interleaving transpose."""
         if xp is None:
             import jax.numpy as xp  # noqa: PLC0415
         view_inv, proj_inv = params
@@ -110,17 +114,20 @@ class PinholeCamera:
 
         # elementwise formulation (no matmul: TPU would default f32 matmuls
         # to bf16 MXU passes, which is far too coarse for ray directions)
-        ndc = xp.stack([dx, dy, xp.ones_like(dx), xp.ones_like(dx)], axis=-1)
         pi = xp.asarray(proj_inv)
-        target = (xp.einsum("ni,ji->nj", ndc, pi, precision="highest")
-                  if xp is not np else ndc @ proj_inv.T)
-        t3 = target[:, :3]
-        t3 = t3 / xp.linalg.norm(t3, axis=-1, keepdims=True)
+        tc = [pi[j, 0] * dx + pi[j, 1] * dy + pi[j, 2] + pi[j, 3]
+              for j in range(3)]
+        tn = xp.sqrt(tc[0] * tc[0] + tc[1] * tc[1] + tc[2] * tc[2])
+        tc = [c / tn for c in tc]
         vi = xp.asarray(view_inv)
-        dirs = (xp.einsum("ni,ji->nj", t3, vi[:3, :3], precision="highest")
-                if xp is not np else t3 @ np.asarray(view_inv)[:3, :3].T)
-        origin = xp.broadcast_to(vi[:3, 3], dirs.shape)
-        return origin.astype(F32), dirs.astype(F32)
+        dc = [vi[j, 0] * tc[0] + vi[j, 1] * tc[1] + vi[j, 2] * tc[2]
+              for j in range(3)]
+        axis = 0 if rows else -1
+        dirs = xp.stack(dc, axis=axis).astype(F32)
+        origin = xp.broadcast_to(
+            vi[:3, 3][:, None] if rows else vi[:3, 3][None, :],
+            dirs.shape).astype(F32)
+        return origin, dirs
 
     def generate_rays(self, width: int, height: int, settings=None, xp=None,
                       jitter=None):

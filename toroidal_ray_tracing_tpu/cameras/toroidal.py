@@ -77,9 +77,10 @@ class ToroidalCamera:
 
     @staticmethod
     def device_rays(params, width: int, height: int, settings=None, xp=None,
-                    jitter=None, block: int = 1):
+                    jitter=None, block: int = 1, rows: bool = False):
         """Fully traceable raygen (pixel indices from an on-device arange —
-        no per-ray host->device traffic; see PinholeCamera.device_rays)."""
+        no per-ray host->device traffic; see PinholeCamera.device_rays).
+        rows=True emits (3, N) ray rows (the trace kernels' layout)."""
         from toroidal_ray_tracing_tpu.cameras.pinhole import pixel_coords
 
         if xp is None:
@@ -102,11 +103,12 @@ class ToroidalCamera:
         ca, sa = xp.cos(a), xp.sin(a)
         cb, sb = xp.cos(b), xp.sin(b)
 
+        axis = 0 if rows else -1
         origins = xp.stack(
             [eye[0] + rho * ca,
              xp.broadcast_to(eye[1], ca.shape),
-             eye[2] + rho * sa], axis=-1)
-        dirs = xp.stack([ca * cb, sb, sa * cb], axis=-1)
+             eye[2] + rho * sa], axis=axis)
+        dirs = xp.stack([ca * cb, sb, sa * cb], axis=axis)
         return origins.astype(F32), dirs.astype(F32)
 
     def generate_rays(self, width: int, height: int, settings, xp=None,

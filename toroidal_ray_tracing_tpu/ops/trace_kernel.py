@@ -20,8 +20,13 @@ Structure per grid step (one ray tile):
     slab-tested per cluster (6 scalar reads), and `pl.when` skips a cluster
     when no live ray enters its box closer than its current best hit (the
     TLAS/BLAS culling analog, SURVEY.md §2B).
-  * tori: bounding-sphere prepass masks pairs; tile-level `pl.when` skips
-    the quartic for tiles no ray can touch.
+  * tori: full per-torus tables resident in VMEM; Morton groups visited
+    front-to-back with a group-AABB slab gate (whole-tile `pl.when` skip)
+    and a per-torus AABB slab prepass masking pairs before the quartic.
+
+Both kernels support an any-hit `occlusion` mode for shadow queries: a ray
+with any in-range hit rejects all remaining clusters/groups (the
+TerminateOnFirstHit | SkipClosestHit analog, raytrace.rchit:96-109).
 
 Replaces: driver BVH traversal behind traceRayEXT (raytrace.rgen:77,
 raytrace.rchit:98).
@@ -56,6 +61,7 @@ TORUS_TILE = 32        # max tori per tile (sublane axis; adapts down to a
                        # multiple of 8 for small torus counts; swept on the
                        # 1k-instance grid: 32 edges out 64, 8/16 lose to
                        # per-step overhead)
+QUARTIC_CHUNK = 8      # tori per gated quartic evaluation inside a group
 
 _DN0 = (((0,), (0,)), ((), ()))  # contract dim 0 of both operands
 
@@ -65,10 +71,12 @@ def _interpret() -> bool:
 
 
 def _rays_to_rows(origins, dirs, tmax):
-    """(N, 3) rays -> (4, N) homogeneous rows + (1, N) tmax (dense layouts)."""
-    n = origins.shape[0]
-    oh = jnp.concatenate([origins.T, jnp.ones((1, n), F32)], axis=0)
-    d4 = jnp.concatenate([dirs.T, jnp.zeros((1, n), F32)], axis=0)
+    """(3, N) ray rows -> (4, N) homogeneous rows + (1, N) tmax. A pure
+    sublane concat — the old (N, 3) column inputs needed a real XLA
+    transpose here, costing multiple ms per 2M rays per kernel call."""
+    n = origins.shape[1]
+    oh = jnp.concatenate([origins, jnp.ones((1, n), F32)], axis=0)
+    d4 = jnp.concatenate([dirs, jnp.zeros((1, n), F32)], axis=0)
     return oh, d4, tmax.reshape(1, n)
 
 
@@ -86,7 +94,7 @@ def _inv_dir(dc):
 
 def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
                 woop_o_ref, woop_d_ref, *refs,
-                cluster: int, emit_attrs: bool):
+                cluster: int, emit_attrs: bool, occlusion: bool = False):
     """One grid step = one ray tile vs all triangles (cluster-culled).
 
     o/d: (4, R) homogeneous origins ([o,1]^T) and dirs ([d,0]^T).
@@ -145,6 +153,12 @@ def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
             j = jj
             base = j * cluster
         t_best = t_out[...]
+        if occlusion:
+            # any-hit semantics (shadow rays): once a ray has ANY hit in
+            # range, reject every later cluster for it outright
+            bound = jnp.where(t_best < BIG, F32(-1.0), tmax)
+        else:
+            bound = jnp.minimum(t_best, tmax)
 
         # --- cluster cull: does any ray enter this cluster's AABB closer
         # than its current best hit? (bounds are SMEM scalars) ---
@@ -160,7 +174,7 @@ def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        box_hit = (tn <= jnp.minimum(tf, jnp.minimum(t_best, tmax))) \
+        box_hit = (tn <= jnp.minimum(tf, bound)) \
             & (tf >= TMIN) & (tmax > TMIN)        # (1, R)
 
         @pl.when(jnp.any(box_hit))
@@ -234,15 +248,17 @@ def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
         jax.lax.fori_loop(0, n_clusters, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cluster", "ray_tile"))
+@functools.partial(jax.jit, static_argnames=("cluster", "ray_tile",
+                                             "occlusion"))
 def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
                            cluster_lo, cluster_hi, cluster: int,
-                           ray_tile: int = RAY_TILE, attr_tables=None):
-    """origins/dirs: (N, 3); woop_o: (3, 4, T); woop_d: (3, 3, T);
+                           ray_tile: int = RAY_TILE, attr_tables=None,
+                           occlusion: bool = False):
+    """origins/dirs: (3, N) rows; woop_o: (3, 4, T); woop_d: (3, 3, T);
     cluster_*: (C, 3). N must be a multiple of ray_tile. attr_tables:
     optional ((21,T), (8,T), (8,T)) shading-attribute tables — when given,
     a fifth (21, N) output carries the winner's interpolated attributes."""
-    n = origins.shape[0]
+    n = origins.shape[1]
     T = woop_o.shape[2]
     assert n % ray_tile == 0, n
     nt = n // ray_tile
@@ -263,7 +279,7 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
     # origin): near clusters fill t_best first, so the in-kernel slab test
     # prunes far clusters outright instead of merely masking their pairs
     centers = (jnp.asarray(cluster_lo) + jnp.asarray(cluster_hi)) * 0.5
-    mean_o = jnp.mean(origins, axis=0)
+    mean_o = jnp.mean(origins, axis=1)
     order = jnp.argsort(
         jnp.sum((centers - mean_o[None, :]) ** 2, axis=1)).astype(jnp.int32)
 
@@ -285,7 +301,7 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
 
     out = pl.pallas_call(
         functools.partial(_tri_kernel, cluster=cluster,
-                          emit_attrs=emit_attrs),
+                          emit_attrs=emit_attrs, occlusion=occlusion),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -304,7 +320,7 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
 
 def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
                   rad_ref, lo_ref, hi_ref, *refs, torus_tile: int,
-                  emit_attrs: bool):
+                  emit_attrs: bool, occlusion: bool = False):
     """One grid step = one ray tile vs ALL tori (group-culled).
 
     The full per-torus tables stay VMEM-resident (32 f32/torus — ~128 KB at
@@ -358,8 +374,8 @@ def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
 
     any_live = jnp.any(tmax > TMIN)  # dead tiles (tmax=0 bounce cull) skip
 
-    def _quartic(base, cand):
-        w = w2o_ref[pl.ds(base, torus_tile), :]   # (Kt, 12)
+    def _quartic(base, cand, kt):
+        w = w2o_ref[pl.ds(base, kt), :]           # (kt, 12)
 
         def col(i):
             return w[:, i:i + 1]
@@ -372,7 +388,7 @@ def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
         dyo = col(4) * dx + col(5) * dy + col(6) * dz
         dzo = col(8) * dx + col(9) * dy + col(10) * dz
 
-        rad = rad_ref[pl.ds(base, torus_tile), :]  # (Kt, 2)
+        rad = rad_ref[pl.ds(base, kt), :]          # (kt, 2)
         Rmaj = rad[:, 0:1]
         rmin = rad[:, 1:2]
 
@@ -405,7 +421,7 @@ def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
 
         t_tile = jnp.min(t, axis=0, keepdims=True)
         rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        arg = jnp.min(jnp.where(t <= t_tile, rows, torus_tile), axis=0,
+        arg = jnp.min(jnp.where(t <= t_tile, rows, kt), axis=0,
                       keepdims=True)
         better = t_tile < t_out[...]
         t_out[...] = jnp.where(better, t_tile, t_out[...])
@@ -434,7 +450,7 @@ def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
                 jnp.sum(pickf * nwy, axis=0, keepdims=True),
                 jnp.sum(pickf * nwz, axis=0, keepdims=True)], axis=0)
             mat = jax.lax.dot_general(
-                mat_ref[pl.ds(base, torus_tile), :], pickf, _DN0,
+                mat_ref[pl.ds(base, kt), :], pickf, _DN0,
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)   # (12, R)
             new = jnp.concatenate([nrm, mat], axis=0)
@@ -457,9 +473,38 @@ def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
                          jnp.maximum(t0z, t1z))
         return (tn <= jnp.minimum(tf, tlim)) & (tf >= TMIN)
 
+    def bound_now():
+        # any-hit semantics (shadow rays): a ray with ANY in-range hit
+        # rejects all remaining groups/tori outright
+        if occlusion:
+            return jnp.where(t_out[...] < BIG, F32(-1.0), tmax)
+        return jnp.minimum(tmax, t_out[...])
+
+    def per_torus(base, tlim):
+        lo = lo_ref[pl.ds(base, torus_tile), :]       # (Kt, 3)
+        hi = hi_ref[pl.ds(base, torus_tile), :]
+        cand = slab(lo[:, 0:1], hi[:, 0:1], lo[:, 1:2], hi[:, 1:2],
+                    lo[:, 2:3], hi[:, 2:3], tlim) \
+            & (tmax > TMIN)                           # (Kt, R)
+
+        # the quartic is gated per 8-torus CHUNK, not per group: a compact
+        # ray frustum crossing a 32-torus Morton group usually has
+        # candidates in only 1-2 of its 4x2-block chunks, and the quartic
+        # is ~10x the cost of everything else here
+        for c in range(0, torus_tile, QUARTIC_CHUNK):
+            kt = min(QUARTIC_CHUNK, torus_tile - c)
+            sub = cand[c:c + kt]
+
+            @pl.when(jnp.any(sub))
+            def _(c=c, sub=sub, kt=kt):
+                _quartic(pl.multiple_of(base + c, 8), sub, kt)
+
     def group(g, _):
-        jo = order_ref[g]
-        base = pl.multiple_of(jo * torus_tile, torus_tile)
+        if n_groups == 1:
+            jo, base = 0, 0  # no order indirection for a single group
+        else:
+            jo = order_ref[g]
+            base = pl.multiple_of(jo * torus_tile, torus_tile)
 
         # group-AABB prepass: 6 SMEM scalars vs the whole ray tile. The
         # slab entry distance must beat tmax — with the triangle pass's
@@ -467,7 +512,7 @@ def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
         # first), groups behind nearer geometry skip outright; the
         # front-to-back visit order makes the running-best term prune far
         # groups too.
-        tlim = jnp.minimum(tmax, t_out[...])
+        tlim = bound_now()
         g_hit = slab(gbox_ref[jo, 0], gbox_ref[jo, 3],
                      gbox_ref[jo, 1], gbox_ref[jo, 4],
                      gbox_ref[jo, 2], gbox_ref[jo, 5],
@@ -475,35 +520,37 @@ def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
 
         @pl.when(jnp.any(g_hit))  # missed/occluded groups skip everything
         def _run():
-            lo = lo_ref[pl.ds(base, torus_tile), :]   # (Kt, 3)
-            hi = hi_ref[pl.ds(base, torus_tile), :]
-            cand = slab(lo[:, 0:1], hi[:, 0:1], lo[:, 1:2], hi[:, 1:2],
-                        lo[:, 2:3], hi[:, 2:3], tlim) \
-                & (tmax > TMIN)                       # (Kt, R)
-
-            @pl.when(jnp.any(cand))
-            def _():
-                _quartic(base, cand)
+            per_torus(base, tlim)
 
         return 0
 
     @pl.when(any_live)
     def _():
+        # NOTE: the group-level slab gate matters even for a single group —
+        # it skips whole all-miss tiles (sky rays) before the (Kt, R)
+        # per-torus test; dropping it for G == 1 cost the headline ~12%
         jax.lax.fori_loop(0, n_groups, group, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("torus_tile", "ray_tile"))
+@functools.partial(jax.jit, static_argnames=("torus_tile", "ray_tile",
+                                             "occlusion"))
 def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
                              center, bound, torus_tile: int = TORUS_TILE,
                              ray_tile: int = TORUS_RAY_TILE,
-                             mat_table=None):
-    n = origins.shape[0]
+                             mat_table=None, occlusion: bool = False):
+    """origins/dirs: (3, N) rows."""
+    n = origins.shape[1]
     K = major.shape[0]
-    assert n % ray_tile == 0
     # adapt the tile down for small torus counts (a 4-torus scene shouldn't
     # evaluate a 64-wide quartic tile per ray tile)
     torus_tile = min(torus_tile, ((K + 7) // 8) * 8)
     Kp = ((K + torus_tile - 1) // torus_tile) * torus_tile
+    # small torus tiles leave scoped-VMEM headroom for wider ray tiles
+    # (the quartic DAG's temp footprint scales with the pair-tile area):
+    # fewer grid steps, wider VPU rows. 32 x 2048 fails to compile.
+    if torus_tile <= 16 and n % 2048 == 0:
+        ray_tile = max(ray_tile, 2048)
+    assert n % ray_tile == 0
 
     oh, d4, tm = _rays_to_rows(origins, dirs, tmax)
 
@@ -566,7 +613,7 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     # the batch's mean ray origin, so near groups set the running best hit
     # before far groups are tested (mirrors the triangle kernel's cluster
     # ordering)
-    mean_o = jnp.mean(origins, axis=0)
+    mean_o = jnp.mean(origins, axis=1)
     gdist = jnp.linalg.norm(
         jnp.maximum(jnp.maximum(glo - mean_o[None, :],
                                 mean_o[None, :] - ghi), 0.0), axis=1)
@@ -595,7 +642,7 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
 
     out = pl.pallas_call(
         functools.partial(_torus_kernel, torus_tile=torus_tile,
-                          emit_attrs=emit_attrs),
+                          emit_attrs=emit_attrs, occlusion=occlusion),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -658,16 +705,20 @@ def _tri_attr_tables(scene: Scene, geom):
 
 
 def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
-                       want_attrs: bool = False):
+                       want_attrs: bool = False, occlusion: bool = False):
     """Fused closest-hit over the geometry slice. Pads the ray batch to the
     kernel tile and combines triangle + torus results. With want_attrs the
     kernels also emit the winner's interpolated shading attributes
-    (Hit.attrs), eliminating shade()'s per-ray table gathers."""
-    n = origins.shape[0]
+    (Hit.attrs), eliminating shade()'s per-ray table gathers. With occlusion
+    (shadow/any-hit queries, raytrace.rchit:96-109's TerminateOnFirstHit),
+    the kernels stop refining a ray once it has any in-range hit — only
+    Hit.kind >= 0 is meaningful then. origins/dirs: (3, N) rows."""
+    assert not (want_attrs and occlusion)
+    n = origins.shape[1]
     pad = (-n) % RAY_TILE
     if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), F32)])
-        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), F32)])
+        origins = jnp.concatenate([origins, jnp.zeros((3, pad), F32)], axis=1)
+        dirs = jnp.concatenate([dirs, jnp.ones((3, pad), F32)], axis=1)
         tmax = jnp.concatenate([tmax, jnp.zeros((pad,), F32)])
 
     has_tris = bool(np.any(np.asarray(scene.triangles.valid))) if isinstance(
@@ -675,7 +726,7 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
     has_tori = bool(np.any(np.asarray(scene.tori.valid))) if isinstance(
         scene.tori.valid, np.ndarray) else True
 
-    np_ = origins.shape[0]
+    np_ = origins.shape[1]
     t_best = jnp.full((np_,), BIG, F32)
     kind = jnp.full((np_,), -1, jnp.int32)
     prim = jnp.zeros((np_,), jnp.int32)
@@ -700,7 +751,7 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
         tables = _tri_attr_tables(scene, geom) if want_attrs else None
         out = tri_closest_hit_pallas(
             origins, dirs, tmax, geom.woop_o, geom.woop_d, clo, chi, cs,
-            attr_tables=tables)
+            attr_tables=tables, occlusion=occlusion)
         tt, ti, tu, tv = out[:4]
         if want_attrs:
             tri_attr = out[4]                        # (21, Np)
@@ -724,11 +775,17 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
         # fold triangle hits into the torus query's tmax: torus groups (and
         # individual tori) behind nearer triangle geometry skip the quartic
         # via the kernels' entry-distance tests
-        tor_tmax = jnp.minimum(tmax, t_best) if has_tris else tmax
+        if has_tris and occlusion:
+            # an occluded ray needs no torus query at all
+            tor_tmax = jnp.where(t_best < BIG, F32(0.0), tmax)
+        elif has_tris:
+            tor_tmax = jnp.minimum(tmax, t_best)
+        else:
+            tor_tmax = tmax
         out = torus_closest_hit_pallas(
             origins, dirs, tor_tmax, geom.tor_w2o, geom.tor_major,
             geom.tor_minor, geom.tor_center, geom.tor_bound,
-            mat_table=mat_table)
+            mat_table=mat_table, occlusion=occlusion)
         kt, ki = out[:2]
         if want_attrs:
             tor_attr = out[2]                        # (15, Np)
@@ -746,24 +803,24 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
         if tor_attr is None:
             tor_attr = jnp.zeros((15, np_), F32)
         # torus world position = o + t d (computed in shade); the pos rows
-        # carry the triangle's barycentric-exact position only
+        # carry the triangle's barycentric-exact position only. All fields
+        # stay ROWS — plain slices of the kernels' (A, N) outputs, no
+        # re-stacking (shade is row-native)
         nrm = jnp.where(is_tor, tor_attr[0:3], tri_attr[3:6])
         mat = jnp.where(is_tor, tor_attr[3:15], tri_attr[8:20])
-        row = lambda m, i: sl(m[i])  # noqa: E731
-        stack3 = lambda m, i: jnp.stack(  # noqa: E731
-            [row(m, i), row(m, i + 1), row(m, i + 2)], axis=1)
+        slr = lambda m: m[:, :n]  # noqa: E731
         attrs = _isect.ShadeAttrs(
-            pos=stack3(tri_attr, 0),
-            nrm=stack3(nrm, 0),
-            uv=jnp.stack([row(tri_attr, 6), row(tri_attr, 7)], axis=1),
-            ambient=stack3(mat, 0),
-            diffuse=stack3(mat, 3),
-            specular=stack3(mat, 6),
-            shininess=row(mat, 9),
-            illum=jnp.round(row(mat, 10)).astype(jnp.int32),
-            texture_id=jnp.round(row(mat, 11)).astype(jnp.int32),
+            pos=slr(tri_attr[0:3]),
+            nrm=slr(nrm),
+            uv=slr(tri_attr[6:8]),
+            ambient=slr(mat[0:3]),
+            diffuse=slr(mat[3:6]),
+            specular=slr(mat[6:9]),
+            shininess=sl(mat[9]),
+            illum=jnp.round(sl(mat[10])).astype(jnp.int32),
+            texture_id=jnp.round(sl(mat[11])).astype(jnp.int32),
             tex_density=jnp.where(sl(kind == 1), F32(0.0),
-                                  row(tri_attr, 20)),
+                                  sl(tri_attr[20])),
         )
     return _isect.Hit(t=sl(t_best), kind=sl(kind), prim=sl(prim),
                       u=sl(u), v=sl(v), attrs=attrs)

@@ -53,11 +53,15 @@ def _frame_jit(scene, settings, cam_params, key, cam_cls, width, height,
         jitter = jax.random.uniform(key, (width * height, 2), F32)
     else:
         jitter = None
+    # rows end-to-end: raygen emits (3, N), the bounce loop and kernels run
+    # row-native, and each output transposes ONCE here (the old column
+    # layout paid an XLA transpose per kernel call per bounce)
     origins, dirs = cam_cls.device_rays(cam_params, width, height, settings,
-                                        xp=jnp, jitter=jitter, block=block)
+                                        xp=jnp, jitter=jitter, block=block,
+                                        rows=True)
     color, hitpos, nrays = trace_rays(scene, settings, origins, dirs,
-                                      backend=backend)
-    unsw = lambda a: block_unswizzle(jnp, a, width, height, block)  # noqa: E731
+                                      backend=backend, rows=True)
+    unsw = lambda a: block_unswizzle(jnp, a.T, width, height, block)  # noqa: E731
     return unsw(color), unsw(hitpos), unsw(origins), unsw(dirs), nrays
 
 

@@ -42,14 +42,16 @@ class ShadeAttrs(NamedTuple):
     """Interpolated shading attributes of the winning primitive, emitted by
     the Pallas kernels (pick-masked MXU matmuls over the primitive tables in
     VMEM). XLA row-gathers run ~1 row/cycle on TPU — gathering these 9
-    tables in shade() cost more than the intersection itself."""
+    tables in shade() cost more than the intersection itself. Vector fields
+    are ROWS ((3, N)), the kernels' native layout — shade consumes them
+    without any transpose."""
 
-    pos: Any         # (N, 3) barycentric-exact position (triangles only)
-    nrm: Any         # (N, 3) unnormalized shading normal (world space)
-    uv: Any          # (N, 2)
-    ambient: Any     # (N, 3)
-    diffuse: Any     # (N, 3)
-    specular: Any    # (N, 3)
+    pos: Any         # (3, N) barycentric-exact position (triangles only)
+    nrm: Any         # (3, N) unnormalized shading normal (world space)
+    uv: Any          # (2, N)
+    ambient: Any     # (3, N)
+    diffuse: Any     # (3, N)
+    specular: Any    # (3, N)
     shininess: Any   # (N,)
     illum: Any       # (N,) i32
     texture_id: Any  # (N,) i32
@@ -150,7 +152,7 @@ def combine_hits_over_axis(hit: Hit, axis: str) -> Hit:
     if attrs is not None:
         # exactly one shard holds the winner: zero the rest and sum over ICI
         def merge(a):
-            m = pick if a.ndim == 1 else pick[:, None]
+            m = pick if a.ndim == 1 else pick[None, :]  # rows: (C, N)
             zero = jnp.zeros((), a.dtype)
             return jax.lax.psum(jnp.where(m, a, zero), axis)
 
@@ -168,15 +170,19 @@ def combine_hits_over_axis(hit: Hit, axis: str) -> Hit:
 def closest_hit(scene: Scene, origins, dirs, tmax=None, backend: str = "jnp",
                 geom: Optional[GeomSlice] = None,
                 prim_axis: Optional[str] = None,
-                want_attrs: bool = False) -> Hit:
-    """Nearest hit for every ray. origins/dirs: (N, 3) f32.
+                want_attrs: bool = False, occlusion: bool = False) -> Hit:
+    """Nearest hit for every ray. origins/dirs: (3, N) f32 ROWS (rays on
+    the minor axis — the kernels' native layout; no transposes anywhere on
+    the hot path).
 
     geom: geometry to test (defaults to the whole scene). prim_axis: mesh
     axis name to combine partial hits over (geom is then this device's
     shard). want_attrs: emit interpolated ShadeAttrs from the kernels
-    (pallas backend only; the jnp path shades via gathers).
+    (pallas backend only; the jnp path shades via gathers). occlusion:
+    any-hit semantics — kernels stop refining once a ray has any in-range
+    hit (only Hit.kind >= 0 is meaningful).
     """
-    n = origins.shape[0]
+    n = origins.shape[1]
     if tmax is None:
         tmax = jnp.full((n,), TMAX, F32)
     else:
@@ -188,7 +194,7 @@ def closest_hit(scene: Scene, origins, dirs, tmax=None, backend: str = "jnp",
         from toroidal_ray_tracing_tpu.ops.trace_kernel import closest_hit_pallas
 
         hit = closest_hit_pallas(scene, geom, origins, dirs, tmax,
-                                 want_attrs=want_attrs)
+                                 want_attrs=want_attrs, occlusion=occlusion)
     else:
         hit = _closest_hit_jnp(scene, geom, origins, dirs, tmax)
 
@@ -198,6 +204,9 @@ def closest_hit(scene: Scene, origins, dirs, tmax=None, backend: str = "jnp",
 
 
 def _closest_hit_jnp(scene: Scene, geom: GeomSlice, origins, dirs, tmax) -> Hit:
+    # reference path: transpose rows back to (N, 3) columns once (its math
+    # and lax.map chunking are easiest left column-major)
+    origins, dirs = origins.T, dirs.T
     n = origins.shape[0]
     n_tris = int(geom.woop_o.shape[2])
     n_tori = int(geom.tor_major.shape[0])
@@ -249,7 +258,11 @@ def any_hit(scene: Scene, origins, dirs, tmax, backend: str = "jnp",
             geom: Optional[GeomSlice] = None,
             prim_axis: Optional[str] = None):
     """Occlusion query (shadow rays: TerminateOnFirstHit | SkipClosestHit,
-    raytrace.rchit:96-109). Dense evaluation — returns a bool mask."""
+    raytrace.rchit:96-109). Dense evaluation — returns a bool mask. The
+    pallas backend runs the kernels in any-hit mode: a ray with any
+    in-range hit rejects all remaining clusters/groups outright (the
+    TerminateOnFirstHit analog)."""
     hit = closest_hit(scene, origins, dirs, tmax=tmax, backend=backend,
-                      geom=geom, prim_axis=prim_axis)
+                      geom=geom, prim_axis=prim_axis,
+                      occlusion=backend == "pallas")
     return hit.kind >= 0

@@ -7,6 +7,12 @@ masked selects (no divergence — every lane computes every branch and selects):
   raytrace.rmiss:16-22   — miss = clearColor * 0.8, hitPosition = 0 sentinel
   wavefront.glsl:23-50   — computeDiffuse (Lambert+ambient), computeSpecular
                            (Phong with (2+s)/(2pi) energy factor)
+
+Layout: per-ray vectors are ROWS — (3, N) with components on sublanes and
+rays on lanes, matching the Pallas kernels' native layout. The old (N, 3)
+column layout forced an XLA transpose per kernel call per bounce (multiple
+ms per 2M rays each); row-native shading eliminates every per-bounce
+transpose (frames transpose once at the output boundary).
 """
 
 from __future__ import annotations
@@ -25,21 +31,23 @@ F32 = np.float32
 
 
 class ShadeResult(NamedTuple):
-    hit_value: Any     # (N, 3) prd.hitValue
-    hit_position: Any  # (N, 3) prd.hitPosition (0 on miss)
-    atten_factor: Any  # (N, 3) multiplied into prd.attenuation (rchit:127)
+    hit_value: Any     # (3, N) prd.hitValue
+    hit_position: Any  # (3, N) prd.hitPosition (0 on miss)
+    atten_factor: Any  # (3, N) multiplied into prd.attenuation (rchit:127)
     done: Any          # (N,) bool — no reflection requested
-    next_origin: Any   # (N, 3)
-    next_dir: Any      # (N, 3)
+    next_origin: Any   # (3, N)
+    next_dir: Any      # (3, N)
     shadow_rays: Any   # (N,) bool — a shadow ray was traced (for Mrays stats)
 
 
 def _reflect(d, n):
-    return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+    """Rows: (3, N)."""
+    return d - 2.0 * jnp.sum(d * n, axis=0, keepdims=True) * n
 
 
 def _normalize(v):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), F32(1e-30))
+    return v / jnp.maximum(
+        jnp.linalg.norm(v, axis=0, keepdims=True), F32(1e-30))
 
 
 def mip_lod(xp, t, pixel_spread, tex_density, level0_max_dim):
@@ -54,22 +62,23 @@ def mip_lod(xp, t, pixel_spread, tex_density, level0_max_dim):
 
 
 def _bilinear_level(scene: Scene, tex_id, level, uv):
-    """Bilinear, repeat addressing, at one mip level of the flat atlas."""
+    """Bilinear, repeat addressing, at one mip level of the flat atlas.
+    uv: (2, N) rows; returns (3, N)."""
     atlas = scene.textures
     off = atlas.offsets[tex_id, level]
     hs = atlas.sizes[tex_id, level, 0]
     ws = atlas.sizes[tex_id, level, 1]
-    x = (uv[:, 0] % 1.0) * ws.astype(F32) - F32(0.5)
-    y = (uv[:, 1] % 1.0) * hs.astype(F32) - F32(0.5)
+    x = (uv[0] % 1.0) * ws.astype(F32) - F32(0.5)
+    y = (uv[1] % 1.0) * hs.astype(F32) - F32(0.5)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[:, None]
-    fy = (y - y0)[:, None]
+    fx = (x - x0)[None, :]
+    fy = (y - y0)[None, :]
 
     def tap(xi, yi):
         xi = jnp.mod(xi.astype(jnp.int32), ws)
         yi = jnp.mod(yi.astype(jnp.int32), hs)
-        return atlas.data[off + yi * ws + xi]
+        return atlas.data[off + yi * ws + xi].T        # (3, N)
 
     return (tap(x0, y0) * (1 - fx) * (1 - fy)
             + tap(x0 + 1, y0) * fx * (1 - fy)
@@ -80,14 +89,15 @@ def _bilinear_level(scene: Scene, tex_id, level, uv):
 def _sample_texture(scene: Scene, tex_id, uv, lod=None):
     """Trilinear mipmapped sampling — replaces the reference's mipmapped
     `texture(textureSamplers[...])` (raytrace.rchit:83; sampler with a full
-    mip chain, hello_vulkan.cpp:315-339). lod=None samples level 0."""
+    mip chain, hello_vulkan.cpp:315-339). lod=None samples level 0.
+    uv: (2, N); returns (3, N)."""
     if lod is None:
         return _bilinear_level(scene, tex_id, jnp.zeros_like(tex_id), uv)
     nl = scene.textures.n_levels[tex_id]
     l = jnp.clip(lod, 0.0, (nl - 1).astype(F32))
     l0 = jnp.floor(l).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, nl - 1)
-    f = (l - l0.astype(F32))[:, None]
+    f = (l - l0.astype(F32))[None, :]
     c0 = _bilinear_level(scene, tex_id, l0, uv)
     c1 = _bilinear_level(scene, tex_id, l1, uv)
     return c0 * (1 - f) + c1 * f
@@ -95,7 +105,7 @@ def _sample_texture(scene: Scene, tex_id, uv, lod=None):
 
 def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
           backend: str = "jnp", geom=None, prim_axis=None) -> ShadeResult:
-    n = origins.shape[0]
+    """origins/dirs: (3, N) rows."""
     tris = scene.triangles
     tor = scene.tori
     mats = scene.materials
@@ -106,13 +116,14 @@ def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
 
     # hit point along the ray (rchit:94,134); t clamped so the BIG miss
     # sentinel doesn't overflow fp32 (missed lanes are masked below)
-    ray_hit_pos = origins + jnp.minimum(hit.t, F32(1.0e8))[:, None] * dirs
+    ray_hit_pos = origins + jnp.minimum(hit.t, F32(1.0e8))[None, :] * dirs
 
     if hit.attrs is not None:
         # fast path: the Pallas kernels emitted the winner's interpolated
-        # attributes — no per-ray table gathers (8+ ms each at 2M rays)
+        # attributes as rows — no per-ray table gathers (8+ ms each at 2M
+        # rays) and no layout change
         a = hit.attrs
-        world_pos = jnp.where(is_tor[:, None], ray_hit_pos, a.pos)
+        world_pos = jnp.where(is_tor[None, :], ray_hit_pos, a.pos)
         nrm = _normalize(a.nrm)
         tri_uv = a.uv
         ambient, diffuse_c, specular_c = a.ambient, a.diffuse, a.specular
@@ -129,13 +140,16 @@ def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
     tor_prim = jnp.minimum(tor_prim, tor.world_to_obj.shape[0] - 1)
 
     # --- triangle attributes, barycentric interpolation (rchit:43-54) ---
+    # (jnp reference path: gathers produce (N, 3); transpose to rows after —
+    # the pallas path avoids this entirely via kernel-emitted attrs)
     w = F32(1.0) - hit.u - hit.v
-    v0 = tris.v0[tri_prim]
-    tri_pos = v0 + hit.u[:, None] * tris.e1[tri_prim] + hit.v[:, None] * tris.e2[tri_prim]
-    tri_nrm = (w[:, None] * tris.n0[tri_prim] + hit.u[:, None] * tris.n1[tri_prim]
-               + hit.v[:, None] * tris.n2[tri_prim])
-    tri_uv = (w[:, None] * tris.uv0[tri_prim] + hit.u[:, None] * tris.uv1[tri_prim]
-              + hit.v[:, None] * tris.uv2[tri_prim])
+    uvw = (w[None, :], hit.u[None, :], hit.v[None, :])
+    v0 = tris.v0[tri_prim].T
+    tri_pos = v0 + uvw[1] * tris.e1[tri_prim].T + uvw[2] * tris.e2[tri_prim].T
+    tri_nrm = (uvw[0] * tris.n0[tri_prim].T + uvw[1] * tris.n1[tri_prim].T
+               + uvw[2] * tris.n2[tri_prim].T)
+    tri_uv = (uvw[0] * tris.uv0[tri_prim].T + uvw[1] * tris.uv1[tri_prim].T
+              + uvw[2] * tris.uv2[tri_prim].T)
     tri_mat = tris.mat_id[tri_prim]
 
     # --- torus attributes (object-space normal -> world) ---
@@ -147,13 +161,13 @@ def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
     def wcol(i):
         return W12[:, i][tor_prim]                       # (N,)
 
-    hx, hy, hz = ray_hit_pos[:, 0], ray_hit_pos[:, 1], ray_hit_pos[:, 2]
+    hx, hy, hz = ray_hit_pos[0], ray_hit_pos[1], ray_hit_pos[2]
     p_obj = jnp.stack([
         wcol(0) * hx + wcol(1) * hy + wcol(2) * hz + wcol(3),
         wcol(4) * hx + wcol(5) * hy + wcol(6) * hz + wcol(7),
         wcol(8) * hx + wcol(9) * hy + wcol(10) * hz + wcol(11),
-    ], axis=1)
-    n_obj = torus_geom.torus_normal(jnp, p_obj, tor.major_radius[tor_prim])
+    ], axis=0)                                           # (3, N)
+    n_obj = torus_geom.torus_normal(jnp, p_obj.T, tor.major_radius[tor_prim])
     nx, ny, nz = n_obj[:, 0], n_obj[:, 1], n_obj[:, 2]
     # normal transforms by the inverse-transpose = rows of world_to_obj's
     # rotation applied as columns (rchit:54)
@@ -161,16 +175,16 @@ def shade(scene: Scene, settings: RenderSettings, origins, dirs, hit: Hit,
         nx * wcol(0) + ny * wcol(4) + nz * wcol(8),
         nx * wcol(1) + ny * wcol(5) + nz * wcol(9),
         nx * wcol(2) + ny * wcol(6) + nz * wcol(10),
-    ], axis=1)
+    ], axis=0)                                           # (3, N)
     tor_mat = tor.mat_id[tor_prim]
 
-    world_pos = jnp.where(is_tor[:, None], ray_hit_pos, tri_pos)
-    nrm = _normalize(jnp.where(is_tor[:, None], n_tor, tri_nrm))
+    world_pos = jnp.where(is_tor[None, :], ray_hit_pos, tri_pos)
+    nrm = _normalize(jnp.where(is_tor[None, :], n_tor, tri_nrm))
     mat_id = jnp.where(is_tor, tor_mat, tri_mat)
 
-    ambient = mats.ambient[mat_id]
-    diffuse_c = mats.diffuse[mat_id]
-    specular_c = mats.specular[mat_id]
+    ambient = mats.ambient[mat_id].T
+    diffuse_c = mats.diffuse[mat_id].T
+    specular_c = mats.specular[mat_id].T
     shininess = mats.shininess[mat_id]
     illum = mats.illum[mat_id]
     tex_id = jnp.where(is_tor, -1, mats.texture_id[mat_id])
@@ -194,14 +208,16 @@ def _shade_common(scene, settings, origins, dirs, hit, missed, is_tor,
                   ray_hit_pos, world_pos, nrm, tri_uv, ambient, diffuse_c,
                   specular_c, shininess, illum, tex_id, tex_density,
                   backend, geom, prim_axis) -> ShadeResult:
-    # --- light (rchit:57-71) ---
+    # --- light (rchit:57-71) --- (all rows: (3, N); scalars (N,))
     light = settings.light
     lpos = jnp.asarray(light.position, F32)
     is_point = jnp.asarray(light.type, jnp.int32) == LIGHT_POINT
-    ldir = lpos[None, :] - world_pos
-    ldist_pt = jnp.linalg.norm(ldir, axis=-1)
-    L_pt = ldir / jnp.maximum(ldist_pt[:, None], F32(1e-20))
-    L_inf = jnp.broadcast_to(_normalize(lpos[None, :]), world_pos.shape)
+    ldir = lpos[:, None] - world_pos                     # (3, N)
+    ldist_pt = jnp.linalg.norm(ldir, axis=0)
+    L_pt = ldir / jnp.maximum(ldist_pt[None, :], F32(1e-20))
+    L_inf = jnp.broadcast_to(
+        (lpos / jnp.maximum(jnp.linalg.norm(lpos), F32(1e-30)))[:, None],
+        world_pos.shape)
     L = jnp.where(is_point, L_pt, L_inf)
     ldist = jnp.where(is_point, ldist_pt, F32(100000.0))
     lint = jnp.where(
@@ -211,9 +227,9 @@ def _shade_common(scene, settings, origins, dirs, hit, missed, is_tor,
     )
 
     # --- computeDiffuse (wavefront.glsl:23-31) ---
-    ndotl = jnp.sum(nrm * L, axis=-1)
-    diffuse = diffuse_c * jnp.maximum(ndotl, 0.0)[:, None]
-    diffuse = jnp.where((illum >= 1)[:, None], diffuse + ambient, diffuse)
+    ndotl = jnp.sum(nrm * L, axis=0)                     # (N,)
+    diffuse = diffuse_c * jnp.maximum(ndotl, 0.0)[None, :]
+    diffuse = jnp.where((illum >= 1)[None, :], diffuse + ambient, diffuse)
 
     # texture modulation (rchit:79-84); static skip when scene has no
     # textures (the dummy atlas is a single texel)
@@ -224,7 +240,7 @@ def _shade_common(scene, settings, origins, dirs, hit, missed, is_tor,
         lod = mip_lod(jnp, hit.t, jnp.asarray(settings.pixel_spread, F32),
                       tex_density, dim0)
         texel = _sample_texture(scene, tid, tri_uv, lod)
-        diffuse = jnp.where((tex_id >= 0)[:, None], diffuse * texel, diffuse)
+        diffuse = jnp.where((tex_id >= 0)[None, :], diffuse * texel, diffuse)
 
     # --- shadow ray (rchit:89-120): only where dot(N, L) > 0 ---
     facing = ndotl > 0.0
@@ -246,20 +262,21 @@ def _shade_common(scene, settings, origins, dirs, hit, missed, is_tor,
     energy = (F32(2.0) + kshine) / F32(2.0 * np.pi)
     V = _normalize(-dirs)
     Rv = _reflect(-L, nrm)
-    spec = energy * jnp.power(jnp.maximum(jnp.sum(V * Rv, axis=-1), 0.0), kshine)
+    spec = energy * jnp.power(jnp.maximum(jnp.sum(V * Rv, axis=0), 0.0),
+                              kshine)
     spec = jnp.where((illum >= 2) & facing & ~shadowed, spec, 0.0)
-    specular = specular_c * spec[:, None]
+    specular = specular_c * spec[None, :]
 
-    hit_value = (attenuation_local * lint)[:, None] * (diffuse + specular)
+    hit_value = (attenuation_local * lint)[None, :] * (diffuse + specular)
 
     # --- miss (rmiss:16-22) ---
     clear = jnp.asarray(settings.clear_color, F32)[:3] * F32(0.8)
-    hit_value = jnp.where(missed[:, None], clear[None, :], hit_value)
-    hit_position = jnp.where(missed[:, None], F32(0.0), ray_hit_pos)
+    hit_value = jnp.where(missed[None, :], clear[:, None], hit_value)
+    hit_position = jnp.where(missed[None, :], F32(0.0), ray_hit_pos)
 
     # --- reflection request (rchit:122-131) ---
     reflective = (illum == 3) & ~missed
-    atten_factor = jnp.where(reflective[:, None], specular_c, F32(1.0))
+    atten_factor = jnp.where(reflective[None, :], specular_c, F32(1.0))
 
     return ShadeResult(
         hit_value=hit_value.astype(F32),

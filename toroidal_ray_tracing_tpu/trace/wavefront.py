@@ -6,6 +6,11 @@ VKT/ray_tracing_reflections/README.md:118-208 to avoid deep shader recursion).
 That loop maps 1:1 onto `lax.while_loop` over a RayState pytree with a live
 mask; the loop exits as soon as no ray wants another bounce
 (`prd.done == 1 || depth >= maxDepth`).
+
+Layout: the loop runs ROW-major — per-ray vectors are (3, N), the Pallas
+kernels' and shade()'s native layout, so no transpose ever runs inside the
+bounce loop. `trace_rays` accepts either layout at the boundary
+(`rows=False` keeps the public (N, 3) contract and transposes once).
 """
 
 from __future__ import annotations
@@ -25,13 +30,13 @@ F32 = np.float32
 
 class RayState(NamedTuple):
     """Vectorized `hitPayload` + raygen locals (raycommon.glsl:2-12,
-    rgen:64-73)."""
+    rgen:64-73). Vector fields are rows: (3, N)."""
 
-    origin: Any        # (N, 3)
-    dir: Any           # (N, 3)
-    hit_value: Any     # (N, 3) accumulated color
-    attenuation: Any   # (N, 3) prd.attenuation
-    hit_position: Any  # (N, 3) first-hit position (RenderedData.pos)
+    origin: Any        # (3, N)
+    dir: Any           # (3, N)
+    hit_value: Any     # (3, N) accumulated color
+    attenuation: Any   # (3, N) prd.attenuation
+    hit_position: Any  # (3, N) first-hit position (RenderedData.pos)
     active: Any        # (N,) bool — still bouncing
     any_active: Any    # () bool — global (cross-device) "some ray bouncing"
     depth: Any         # () i32
@@ -41,26 +46,33 @@ class RayState(NamedTuple):
 
 def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
                backend: str = "jnp", geom=None, prim_axis=None,
-               ray_axis=None):
+               ray_axis=None, rows: bool = False):
     """Run the bounce loop for a batch of primary rays.
+
+    origins/dirs: (N, 3) by default; rows=True takes/returns (3, N) rows
+    directly (what the fused raygen path feeds — zero layout changes on the
+    whole hot path).
 
     geom/prim_axis: primitive-sharded intersection (see intersect.py).
     ray_axis: mesh axis the ray batch is sharded over — only used to make the
     early-exit decision globally consistent (devices must agree on the
     iteration count; the pmin combine inside the body is collective).
 
-    Returns (hit_value, hit_position): the color and first-hit buffers the
-    raygen writes to `RenderedData` (rgen:110-115).
+    Returns (hit_value, hit_position, rays_traced): the color and first-hit
+    buffers the raygen writes to `RenderedData` (rgen:110-115), in the same
+    layout as the inputs.
     """
-    n = origins.shape[0]
+    if not rows:
+        origins, dirs = origins.T, dirs.T
+    n = origins.shape[1]
     max_depth = jnp.asarray(settings.max_depth, jnp.int32)
 
     init = RayState(
         origin=origins,
         dir=dirs,
-        hit_value=jnp.zeros((n, 3), F32),
-        attenuation=jnp.ones((n, 3), F32),
-        hit_position=jnp.zeros((n, 3), F32),
+        hit_value=jnp.zeros((3, n), F32),
+        attenuation=jnp.ones((3, n), F32),
+        hit_position=jnp.zeros((3, n), F32),
         active=jnp.ones((n,), bool),
         any_active=jnp.asarray(True),
         depth=jnp.asarray(0, jnp.int32),
@@ -83,20 +95,20 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         sh = shade(scene, settings, state.origin, state.dir, hit,
                    backend=backend, geom=geom, prim_axis=prim_axis)
 
-        live = state.active[:, None]
+        live = state.active[None, :]
         # rchit multiplies prd.attenuation before rgen accumulates
         # (rchit:127 runs inside traceRayEXT, before rgen:92)
         attenuation = jnp.where(live, state.attenuation * sh.atten_factor,
                                 state.attenuation)
         hit_value = jnp.where(live, state.hit_value + sh.hit_value * attenuation,
                               state.hit_value)
-        record_first = ((state.depth == 0) & state.active)[:, None]
+        record_first = ((state.depth == 0) & state.active)[None, :]
         hit_position = jnp.where(record_first, sh.hit_position,
                                  state.hit_position)
 
         active = state.active & ~sh.done & (state.depth + 1 < max_depth)
-        origin = jnp.where(active[:, None], sh.next_origin, state.origin)
-        direction = jnp.where(active[:, None], sh.next_dir, state.dir)
+        origin = jnp.where(active[None, :], sh.next_origin, state.origin)
+        direction = jnp.where(active[None, :], sh.next_dir, state.dir)
 
         # the early-exit decision must be identical on every device (the
         # body contains collectives when prim_axis is set)
@@ -118,9 +130,12 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         )
 
     final = jax.lax.while_loop(cond, body, init)
+    hv, hp = final.hit_value, final.hit_position
+    if not rows:
+        hv, hp = hv.T, hp.T
     # f32 at the boundary: callers accumulate across spp/bands/devices where
     # relative (not unit) precision suffices for the Mrays/s statistic
-    return final.hit_value, final.hit_position, final.rays_traced.astype(F32)
+    return hv, hp, final.rays_traced.astype(F32)
 
 
 def trace_rays_fixed(scene: Scene, settings: RenderSettings, origins, dirs,
@@ -135,8 +150,10 @@ def trace_rays_fixed(scene: Scene, settings: RenderSettings, origins, dirs,
     `trace_rays` for rays that terminate within `depth` bounces.
 
     Use backend="jnp" (the Pallas custom calls do not define VJPs).
+    origins/dirs: (N, 3).
     """
-    n = origins.shape[0]
+    origins, dirs = origins.T, dirs.T
+    n = origins.shape[1]
 
     def step(state, i):
         origin, direction, hit_value, attenuation, hit_position, active = state
@@ -145,22 +162,22 @@ def trace_rays_fixed(scene: Scene, settings: RenderSettings, origins, dirs,
                           backend=backend)
         sh = shade(scene, settings, origin, direction, hit, backend=backend)
 
-        live = active[:, None]
+        live = active[None, :]
         attenuation = jnp.where(live, attenuation * sh.atten_factor,
                                 attenuation)
         hit_value = jnp.where(live, hit_value + sh.hit_value * attenuation,
                               hit_value)
-        record_first = ((i == 0) & active)[:, None]
+        record_first = ((i == 0) & active)[None, :]
         hit_position = jnp.where(record_first, sh.hit_position, hit_position)
 
         active = active & ~sh.done
-        origin = jnp.where(active[:, None], sh.next_origin, origin)
-        direction = jnp.where(active[:, None], sh.next_dir, direction)
+        origin = jnp.where(active[None, :], sh.next_origin, origin)
+        direction = jnp.where(active[None, :], sh.next_dir, direction)
         return (origin, direction, hit_value, attenuation, hit_position,
                 active), None
 
-    init = (origins, dirs, jnp.zeros((n, 3), F32), jnp.ones((n, 3), F32),
-            jnp.zeros((n, 3), F32), jnp.ones((n,), bool))
+    init = (origins, dirs, jnp.zeros((3, n), F32), jnp.ones((3, n), F32),
+            jnp.zeros((3, n), F32), jnp.ones((n,), bool))
     (_, _, hit_value, _, hit_position, _), _ = jax.lax.scan(
         step, init, jnp.arange(max(depth, 1)))
-    return hit_value, hit_position
+    return hit_value.T, hit_position.T
