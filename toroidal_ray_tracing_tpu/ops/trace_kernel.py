@@ -20,12 +20,14 @@ Structure per grid step (one ray tile):
     slab-tested per cluster (6 scalar reads), and `pl.when` skips a cluster
     when no live ray enters its box closer than its current best hit (the
     TLAS/BLAS culling analog, SURVEY.md §2B).
-  * tori: full per-torus tables resident in VMEM; Morton groups visited
-    front-to-back with a group-AABB slab gate (whole-tile `pl.when` skip)
-    and a per-torus AABB slab prepass masking pairs before the quartic.
+  * tori: full per-torus tables resident in VMEM; each ray tile walks a
+    pre-culled front-to-back visit list of 8-torus chunks (exact per-ray
+    slab gates computed by vectorized XLA — _chunk_visit_lists — and fed
+    in through SMEM), and the Ferrari quartic runs per 128-lane span,
+    dispatched by per-span candidate bits packed into the visit entries.
 
 Both kernels support an any-hit `occlusion` mode for shadow queries: a ray
-with any in-range hit rejects all remaining clusters/groups (the
+with any in-range hit rejects all remaining clusters/chunks (the
 TerminateOnFirstHit | SkipClosestHit analog, raytrace.rchit:96-109).
 
 Replaces: driver BVH traversal behind traceRayEXT (raytrace.rgen:77,
@@ -317,78 +319,223 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
 # Torus kernel
 # ---------------------------------------------------------------------------
 
+TORUS_SUB = 128        # rays per quartic sub-tile: a visited chunk's pair
+                       # mask gates the quartic per (8, SUB) block — exactly
+                       # one vreg per op, so a tile evaluates the quartic
+                       # only on the 128-lane spans that have candidates
+TORUS_CHUNK = 8        # tori per visited chunk (the minimum dynamic sublane
+                       # slice granularity)
 
-def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
-                  rad_ref, lo_ref, hi_ref, *refs, torus_tile: int,
-                  emit_attrs: bool, occlusion: bool = False):
-    """One grid step = one ray tile vs ALL tori (group-culled).
 
-    The full per-torus tables stay VMEM-resident (32 f32/torus — ~128 KB at
-    1k tori) and an in-kernel fori_loop walks torus *groups* of `torus_tile`
-    in the front-to-back order `order_ref` (SMEM, sorted by group distance
-    from the dispatch's mean ray origin). Near groups fill the running best
-    hit first, so the group entry-distance test prunes far groups outright.
-    (The previous design made torus groups a second grid dimension: at 2M
-    rays x 32 groups that is 64k grid steps, each paying fixed
-    DMA/sequencing cost even when the group bound missed.)
+def _chunk_visit_lists(origins, dirs, tmax, clo, chi, tlo, thi, rank,
+                       ray_tile, sub, per_torus):
+    """Exact per-ray-tile chunk visit lists with per-span candidate bits,
+    computed with plain XLA ops OUTSIDE the kernel (the TLAS traversal
+    analog, SURVEY.md §2B).
 
-    Culling is slab-tested world AABBs at both levels — much tighter than
-    bounding spheres for flat/tilted tori (a 0.35/0.12 grid torus has AABB
-    half-height 0.12 vs sphere radius 0.47, so grazing rays cull ~4x more).
+    Every ray is slab-tested against every 8-torus chunk AABB (vectorized,
+    chunk-blocked so temporaries stay ~(8, N)), then reduced to
+    "any candidate" per `sub`-lane span. With per_torus (small scenes,
+    K <= 64, where the extra K/C gate cost is trivial) each INDIVIDUAL
+    torus AABB is tested instead — a set bit then proves a real
+    (ray, torus) candidate, letting the kernel skip its per-span
+    any()-reduce gate (span_exact). A tile's passing chunks are
+    compacted front-to-back by ONE lax.sort_key_val over the key
+    `rank + C * miss` (rank = the chunk's near-to-far position), carrying
+    packed entries `chunk_id | span_bits << 16` as values — the kernel
+    walks the first `cnt` entries via SMEM and runs the quartic only on
+    spans whose bit is set. Dead tiles/spans (tmax=0 bounce cull) drop out
+    here for free.
 
-    Per-torus fields are (Kt, 1) column slices of row-major tables; per-ray
-    data is (1, R) rows; pair tiles are (Kt, R).
+    (Two earlier designs were slower: scanning all torus groups inside the
+    kernel behind per-group SMEM slab gates cost ~16 ms/dispatch on the
+    1k-instance grid — 64k sequential (1, R) gates at 1/8 sublane
+    occupancy; and a conservative interval-arithmetic gate over sub-tile
+    origin/direction boxes visited 4.3x more chunks than this exact test,
+    because the per-axis interval products bound the frustum by its
+    axis-aligned sweep.)
 
-    w2o: (Kp, 12) — rows of the 3x4 world->object transform per torus.
-    rad: (Kp, 2)  — [major, minor] (minor < 0 => padding, never hits).
-    lo/hi: (Kp, 3) — world AABBs (padding rows are inverted boxes).
-    gbox: (G, 6) in SMEM — [lo, hi] per torus group: groups skip on 6
-    scalar reads + one (1, R) slab test before any per-torus work (with
-    block-swizzled rays a ray tile is a compact frustum, so most
-    (tile, group) pairs miss).
+    origins/dirs: (3, N) rows; tmax: (N,); clo/chi: (C, 3) chunk AABBs;
+    tlo/thi: (C*8, 3) per-torus AABBs (used when per_torus); rank: (C,)
+    i32 front-to-back rank per chunk id; ray_tile/sub: the kernel's tile
+    and span widths (spans per tile <= 15 so the bits fit).
+    Returns (entries (nt, C) i32, cnt (nt, 1) i32) with nt = N // ray_tile.
+    """
+    C = clo.shape[0]
+    n = origins.shape[1]
+    S = n // sub
+    nt = n // ray_tile
+    n_sub = ray_tile // sub
+    assert n_sub <= 15, n_sub
+
+    inv = [_inv_dir(dirs[k]) for k in range(3)]      # 3 x (N,)
+    tm = jnp.minimum(tmax, BIG)
+
+    def slab_block(lo_b, hi_b):
+        """(B, N) slab hit mask for a block of B boxes."""
+        tn = None
+        tf = None
+        for k in range(3):
+            t0 = (lo_b[:, k:k + 1] - origins[k][None, :]) * inv[k][None, :]
+            t1 = (hi_b[:, k:k + 1] - origins[k][None, :]) * inv[k][None, :]
+            lo_k = jnp.minimum(t0, t1)
+            hi_k = jnp.maximum(t0, t1)
+            tn = lo_k if tn is None else jnp.maximum(tn, lo_k)
+            tf = hi_k if tf is None else jnp.minimum(tf, hi_k)
+        return (tn <= jnp.minimum(tf, tm[None, :])) & (tf >= TMIN)
+
+    if per_torus:
+        # one map step per chunk, testing its 8 individual torus boxes
+        def block(boxes):
+            hit = slab_block(*boxes)                        # (8, N)
+            hit_any = jnp.any(hit, axis=0)                  # (N,)
+            return jnp.any(hit_any.reshape(S, sub), axis=1)  # (S,)
+
+        span_mask = jax.lax.map(
+            block, (tlo.reshape(C, TORUS_CHUNK, 3),
+                    thi.reshape(C, TORUS_CHUNK, 3)))        # (C, S)
+        span_mask = span_mask.T                             # (S, C)
+    else:
+        B = 8  # chunks per block: bounds temporaries to (B, N)
+        Cb = ((C + B - 1) // B) * B
+        if Cb != C:
+            pad = jnp.full((Cb - C, 3), F32(2.0e38))
+            clo_b = jnp.concatenate([clo, pad])
+            chi_b = jnp.concatenate([chi, pad])
+        else:
+            clo_b, chi_b = clo, chi
+
+        def block(boxes):
+            hit = slab_block(*boxes)                        # (B, N)
+            return jnp.any(hit.reshape(B, S, sub), axis=2)  # (B, S)
+
+        span_mask = jax.lax.map(
+            block, (clo_b.reshape(-1, B, 3), chi_b.reshape(-1, B, 3)))
+        span_mask = span_mask.reshape(Cb, S)[:C].T          # (S, C)
+
+    spm = span_mask.reshape(nt, n_sub, C)
+    anym = jnp.any(spm, axis=1)                      # (nt, C)
+    bits = jnp.zeros((nt, C), jnp.int32)
+    for j in range(n_sub):
+        bits = bits | (spm[:, j, :].astype(jnp.int32) << (16 + j))
+    entries = jnp.arange(C, dtype=jnp.int32)[None, :] | bits
+    key = rank[None, :] + jnp.where(anym, 0, C).astype(jnp.int32)
+    key = jnp.broadcast_to(key, (nt, C))
+    _, visit = jax.lax.sort_key_val(key, entries, dimension=1)
+    cnt = jnp.sum(anym, axis=1).astype(jnp.int32)[:, None]
+    return visit, cnt
+
+
+def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
+                  rad_ref, lo_ref, hi_ref, *refs, sub: int,
+                  emit_attrs: bool, occlusion: bool = False,
+                  span_exact: bool = False):
+    """One grid step = one ray tile, which walks ONLY its pre-culled chunk
+    visit list (front-to-back; see _chunk_visit_lists). A visit entry's
+    span bits say which `sub`-lane spans have candidate rays, so dispatch
+    is pure scalar-core bit tests and the quartic (plus a per-span slab
+    refine against the running best) runs only on the exact (chunk, span)
+    blocks some ray can touch.
+
+    visit_ref: (1, Cp) i32 SMEM block — this tile's packed visit row,
+    laid out [cnt, entries..., pad] with entry = chunk_id | span_bits << 16
+    (see _chunk_visit_lists's caller).
+    Per-torus tables (w2o (Kp, 12), rad (Kp, 2), lo/hi (Kp, 3) world
+    AABBs — 32 f32/torus, ~128 KB at 1k tori) stay fully VMEM-resident; a
+    visited chunk dynamically slices TORUS_CHUNK of their rows on sublanes.
+
+    Culling is slab-tested world AABBs — much tighter than bounding spheres
+    for flat/tilted tori (a 0.35/0.12 grid torus has AABB half-height 0.12
+    vs sphere radius 0.47, so grazing rays cull ~4x more).
 
     With emit_attrs, a per-torus material table mat_ref (Kp, 12) rides
     along and a (15, R) output carries the winner's world-space normal
     (rows 0-2, unnormalized) + material fields (rows 3-14) — computed
     in-kernel so shade() needs no per-ray gathers.
+
+    occlusion: any-hit semantics (shadow rays) — once a ray has ANY
+    in-range hit its slab bound goes negative, rejecting every later chunk
+    (the TerminateOnFirstHit | SkipClosestHit analog, raytrace.rchit:96-109).
     """
     if emit_attrs:
         mat_ref, t_out, idx_out, attr_out = refs
     else:
         t_out, idx_out = refs
     R = o_ref.shape[1]
-    n_groups = w2o_ref.shape[0] // torus_tile
-
-    oh = o_ref[...]
-    d = d_ref[...]
-    tmax = tmax_ref[...]          # (1, R)
-
-    ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]   # (1, R)
-    dx, dy, dz = d[0:1], d[1:2], d[2:3]
-    invx, invy, invz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
+    n_sub = R // sub
 
     t_out[...] = jnp.full((1, R), BIG, F32)
     idx_out[...] = jnp.zeros((1, R), jnp.int32)
     if emit_attrs:
         attr_out[...] = jnp.zeros((15, R), F32)
 
-    any_live = jnp.any(tmax > TMIN)  # dead tiles (tmax=0 bounce cull) skip
-
-    def _quartic(base, cand, kt):
-        w = w2o_ref[pl.ds(base, kt), :]           # (kt, 12)
+    def _quartic(base, ls):
+        """Closest quartic root for the chunk's 8 tori vs one `sub`-lane
+        span of rays. ls: the span's static lane slice. All per-ray rows
+        are RE-LOADED from the refs at the span's offset (Mosaic rejects
+        broadcast ops against lane-sliced *values* — "Invalid input
+        layout" — while ref loads start a fresh, offset-free layout), and
+        the per-torus slab refine is recomputed here against the running
+        best (tighter than the tile-level gate mask)."""
+        w = w2o_ref[pl.ds(base, TORUS_CHUNK), :]    # (Kc, 12)
 
         def col(i):
             return w[:, i:i + 1]
 
-        # ray into each torus's object frame (affine, t-preserving)
-        oxo = col(0) * ox + col(1) * oy + col(2) * oz + col(3)
-        oyo = col(4) * ox + col(5) * oy + col(6) * oz + col(7)
-        ozo = col(8) * ox + col(9) * oy + col(10) * oz + col(11)
-        dxo = col(0) * dx + col(1) * dy + col(2) * dz
-        dyo = col(4) * dx + col(5) * dy + col(6) * dz
-        dzo = col(8) * dx + col(9) * dy + col(10) * dz
+        oxs, oys, ozs = o_ref[0:1, ls], o_ref[1:2, ls], o_ref[2:3, ls]
+        dxs, dys, dzs = d_ref[0:1, ls], d_ref[1:2, ls], d_ref[2:3, ls]
+        tms = tmax_ref[0:1, ls]
+        t_cur0 = t_out[0:1, ls]
+        if occlusion:
+            tlim = jnp.where(t_cur0 < BIG, F32(-1.0), tms)
+        else:
+            tlim = jnp.minimum(tms, t_cur0)
+        lo = lo_ref[pl.ds(base, TORUS_CHUNK), :]      # (Kc, 3)
+        hi = hi_ref[pl.ds(base, TORUS_CHUNK), :]
+        ivx, ivy, ivz = _inv_dir(dxs), _inv_dir(dys), _inv_dir(dzs)
+        t0x = (lo[:, 0:1] - oxs) * ivx
+        t1x = (hi[:, 0:1] - oxs) * ivx
+        t0y = (lo[:, 1:2] - oys) * ivy
+        t1y = (hi[:, 1:2] - oys) * ivy
+        t0z = (lo[:, 2:3] - ozs) * ivz
+        t1z = (hi[:, 2:3] - ozs) * ivz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        cand = (tn <= jnp.minimum(tf, tlim)) & (tf >= TMIN) \
+            & (tms > TMIN)                            # (Kc, sub)
 
-        rad = rad_ref[pl.ds(base, kt), :]          # (kt, 2)
+        if span_exact:
+            # the gate tested every individual torus AABB per ray: a set
+            # span bit means real candidates exist, so skip the
+            # vector->scalar any() reduce + branch (it costs ~as much as
+            # the (8, sub) quartic itself)
+            _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs, dys,
+                          dzs, tms)
+        else:
+            # chunk-box gate bits are a superset (rays can cross the
+            # 8-torus union box between tori), and front-to-back visits
+            # make the running-best term in `cand` prune whole spans —
+            # here the any() gate pays for itself many times over
+            @pl.when(jnp.any(cand))
+            def _go():
+                _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs,
+                              dys, dzs, tms)
+
+    def _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs, dys, dzs,
+                      tms):
+        # ray into each torus's object frame (affine, t-preserving)
+        oxo = col(0) * oxs + col(1) * oys + col(2) * ozs + col(3)
+        oyo = col(4) * oxs + col(5) * oys + col(6) * ozs + col(7)
+        ozo = col(8) * oxs + col(9) * oys + col(10) * ozs + col(11)
+        dxo = col(0) * dxs + col(1) * dys + col(2) * dzs
+        dyo = col(4) * dxs + col(5) * dys + col(6) * dzs
+        dzo = col(8) * dxs + col(9) * dys + col(10) * dzs
+
+        rad = rad_ref[pl.ds(base, TORUS_CHUNK), :]  # (Kc, 2)
         Rmaj = rad[:, 0:1]
         rmin = rad[:, 1:2]
 
@@ -415,17 +562,18 @@ def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
 
         troot = torus_geom.quartic_min_positive(
             jnp, b3, b2, b1, b0,
-            TMIN - tshift, tmax - tshift, newton_iters=3,
+            TMIN - tshift, tms - tshift, newton_iters=3,
             extra_valid=cand & (rmin > 0.0), cubic="newton")
         t = jnp.where(troot < BIG, troot + tshift, BIG)
 
         t_tile = jnp.min(t, axis=0, keepdims=True)
         rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        arg = jnp.min(jnp.where(t <= t_tile, rows, kt), axis=0,
-                      keepdims=True)
-        better = t_tile < t_out[...]
-        t_out[...] = jnp.where(better, t_tile, t_out[...])
-        idx_out[...] = jnp.where(better, base + arg, idx_out[...])
+        arg = jnp.min(jnp.where(t <= t_tile, rows, TORUS_CHUNK),
+                      axis=0, keepdims=True)
+        t_cur = t_out[0:1, ls]
+        better = t_tile < t_cur
+        t_out[0:1, ls] = jnp.where(better, t_tile, t_cur)
+        idx_out[0:1, ls] = jnp.where(better, base + arg, idx_out[0:1, ls])
 
         if emit_attrs:
             hitm = t < BIG
@@ -442,6 +590,7 @@ def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
             scale = F32(1.0) - Rmaj / xz
             nx, ny, nz = pxh * scale, pyh, pzh * scale
             # world normal = inverse-transpose: rows of w2o's rotation
+            # applied as columns
             nwx = nx * col(0) + ny * col(4) + nz * col(8)
             nwy = nx * col(1) + ny * col(5) + nz * col(9)
             nwz = nx * col(2) + ny * col(6) + nz * col(10)
@@ -450,86 +599,31 @@ def _torus_kernel(order_ref, gbox_ref, o_ref, d_ref, tmax_ref, w2o_ref,
                 jnp.sum(pickf * nwy, axis=0, keepdims=True),
                 jnp.sum(pickf * nwz, axis=0, keepdims=True)], axis=0)
             mat = jax.lax.dot_general(
-                mat_ref[pl.ds(base, kt), :], pickf, _DN0,
+                mat_ref[pl.ds(base, TORUS_CHUNK), :], pickf, _DN0,
                 precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)   # (12, R)
+                preferred_element_type=jnp.float32)   # (12, sub)
             new = jnp.concatenate([nrm, mat], axis=0)
-            attr_out[...] = jnp.where(better, new, attr_out[...])
+            attr_cur = attr_out[:, ls]
+            attr_out[:, ls] = jnp.where(better, new, attr_cur)
 
-    def slab(lox, hix, loy, hiy, loz, hiz, tlim):
-        """Entry/exit interval of the ray(s) against AABB slabs; hit iff the
-        entry beats both the exit, the running best, and tmax."""
-        t0x = (lox - ox) * invx
-        t1x = (hix - ox) * invx
-        t0y = (loy - oy) * invy
-        t1y = (hiy - oy) * invy
-        t0z = (loz - oz) * invz
-        t1z = (hiz - oz) * invz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        return (tn <= jnp.minimum(tf, tlim)) & (tf >= TMIN)
+    def chunk(v, _):
+        # packed visit entry: bits 0-15 = chunk id, bit 16+j = "span j has
+        # a candidate ray" (exact per-ray gate, _chunk_visit_lists). Span
+        # dispatch is pure scalar-core work — no tile-wide vector ops run
+        # for spans whose bit is clear.
+        e = visit_ref[0, 1 + v]
+        c = e & 0xFFFF
+        base = pl.multiple_of(c * TORUS_CHUNK, 8)
+        for j in range(n_sub):
+            ls = slice(j * sub, (j + 1) * sub)
 
-    def bound_now():
-        # any-hit semantics (shadow rays): a ray with ANY in-range hit
-        # rejects all remaining groups/tori outright
-        if occlusion:
-            return jnp.where(t_out[...] < BIG, F32(-1.0), tmax)
-        return jnp.minimum(tmax, t_out[...])
-
-    def per_torus(base, tlim):
-        lo = lo_ref[pl.ds(base, torus_tile), :]       # (Kt, 3)
-        hi = hi_ref[pl.ds(base, torus_tile), :]
-        cand = slab(lo[:, 0:1], hi[:, 0:1], lo[:, 1:2], hi[:, 1:2],
-                    lo[:, 2:3], hi[:, 2:3], tlim) \
-            & (tmax > TMIN)                           # (Kt, R)
-
-        # the quartic is gated per 8-torus CHUNK, not per group: a compact
-        # ray frustum crossing a 32-torus Morton group usually has
-        # candidates in only 1-2 of its 4x2-block chunks, and the quartic
-        # is ~10x the cost of everything else here
-        for c in range(0, torus_tile, QUARTIC_CHUNK):
-            kt = min(QUARTIC_CHUNK, torus_tile - c)
-            sub = cand[c:c + kt]
-
-            @pl.when(jnp.any(sub))
-            def _(c=c, sub=sub, kt=kt):
-                _quartic(pl.multiple_of(base + c, 8), sub, kt)
-
-    def group(g, _):
-        if n_groups == 1:
-            jo, base = 0, 0  # no order indirection for a single group
-        else:
-            jo = order_ref[g]
-            base = pl.multiple_of(jo * torus_tile, torus_tile)
-
-        # group-AABB prepass: 6 SMEM scalars vs the whole ray tile. The
-        # slab entry distance must beat tmax — with the triangle pass's
-        # hits pre-folded into tmax (closest_hit_pallas runs triangles
-        # first), groups behind nearer geometry skip outright; the
-        # front-to-back visit order makes the running-best term prune far
-        # groups too.
-        tlim = bound_now()
-        g_hit = slab(gbox_ref[jo, 0], gbox_ref[jo, 3],
-                     gbox_ref[jo, 1], gbox_ref[jo, 4],
-                     gbox_ref[jo, 2], gbox_ref[jo, 5],
-                     tlim) & (tmax > TMIN)
-
-        @pl.when(jnp.any(g_hit))  # missed/occluded groups skip everything
-        def _run():
-            per_torus(base, tlim)
+            @pl.when(((e >> (16 + j)) & 1) == 1)
+            def _(base=base, ls=ls):
+                _quartic(base, ls)
 
         return 0
 
-    @pl.when(any_live)
-    def _():
-        # NOTE: the group-level slab gate matters even for a single group —
-        # it skips whole all-miss tiles (sky rays) before the (Kt, R)
-        # per-torus test; dropping it for G == 1 cost the headline ~12%
-        jax.lax.fori_loop(0, n_groups, group, 0)
+    jax.lax.fori_loop(0, visit_ref[0, 0], chunk, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("torus_tile", "ray_tile",
@@ -538,23 +632,27 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
                              center, bound, torus_tile: int = TORUS_TILE,
                              ray_tile: int = TORUS_RAY_TILE,
                              mat_table=None, occlusion: bool = False):
-    """origins/dirs: (3, N) rows."""
+    """origins/dirs: (3, N) rows. torus_tile is accepted for API stability
+    but unused — culling granularity is fixed at TORUS_CHUNK chunks and
+    TORUS_SUB lane spans (see _chunk_visit_lists / _torus_kernel)."""
+    del torus_tile
     n = origins.shape[1]
     K = major.shape[0]
-    # adapt the tile down for small torus counts (a 4-torus scene shouldn't
-    # evaluate a 64-wide quartic tile per ray tile)
-    torus_tile = min(torus_tile, ((K + 7) // 8) * 8)
-    Kp = ((K + torus_tile - 1) // torus_tile) * torus_tile
-    # small torus tiles leave scoped-VMEM headroom for wider ray tiles
-    # (the quartic DAG's temp footprint scales with the pair-tile area):
-    # fewer grid steps, wider VPU rows. 32 x 2048 fails to compile.
-    if torus_tile <= 16 and n % 2048 == 0:
+    if K <= 64 and n % 2048 == 0:
+        # small scenes: halve the grid steps (fixed per-step cost dominates
+        # once the quartic table walk is short); sub widens to 256 below
         ray_tile = max(ray_tile, 2048)
-    assert n % ray_tile == 0
+    if n < ray_tile:
+        ray_tile = n
+    assert n % ray_tile == 0, (n, ray_tile)
+    sub = TORUS_SUB if ray_tile % TORUS_SUB == 0 else ray_tile
+    while ray_tile // sub > 15:   # span bits live in bits 16-30 of an i32
+        sub *= 2
+    Kp = ((K + TORUS_CHUNK - 1) // TORUS_CHUNK) * TORUS_CHUNK
 
     oh, d4, tm = _rays_to_rows(origins, dirs, tmax)
 
-    # per-torus fields row-major: field slices are (Kt, 1) columns in-kernel
+    # per-torus fields row-major: field slices are (Kc, 1) columns in-kernel
     w2o_rows = jnp.asarray(w2o).reshape(K, 12)
     rad = jnp.stack([jnp.asarray(major), jnp.asarray(minor)], axis=1)
     if Kp != K:
@@ -590,40 +688,49 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     h_w = jnp.einsum("kij,kj->ki", jnp.abs(o2w_rot), h_obj,
                      precision="highest")
     alive_k = (rad[:, 1] > 0.0)[:, None]
-    tor_lo = jnp.where(alive_k, wc - h_w, BIG).astype(F32)
-    tor_hi = jnp.where(alive_k, wc + h_w, -BIG).astype(F32)
+    # padding rows get a far-away point box: coherent tiles cull it in the
+    # visit-list gate (an inverted box would conservatively pass)
+    tor_lo = jnp.where(alive_k, wc - h_w, F32(2.0e38)).astype(F32)
+    tor_hi = jnp.where(alive_k, wc + h_w, F32(2.0e38)).astype(F32)
+
+    # 8-torus chunk AABBs + front-to-back visit ranks (by distance of each
+    # chunk box from the batch's mean ray origin: near chunks set the
+    # running best hit before far chunks are tested)
+    C = Kp // TORUS_CHUNK
+    clo = jnp.min(tor_lo.reshape(C, TORUS_CHUNK, 3), axis=1)
+    chi = jnp.max(tor_hi.reshape(C, TORUS_CHUNK, 3), axis=1)
+    mean_o = jnp.mean(origins, axis=1)
+    cdist = jnp.linalg.norm(
+        jnp.maximum(jnp.maximum(clo - mean_o[None, :],
+                                mean_o[None, :] - chi), 0.0), axis=1)
+    rank = jnp.argsort(jnp.argsort(cdist)).astype(jnp.int32)
+
+    per_torus = K <= 64  # individual-torus gate bits for small scenes
+    visit, cnt = _chunk_visit_lists(origins, dirs, tmax, clo, chi,
+                                    tor_lo, tor_hi, rank, ray_tile, sub,
+                                    per_torus)
 
     nt = n // ray_tile
-    # single grid dimension (ray tiles): torus groups are an IN-KERNEL loop
-    # over VMEM-resident tables, so skipped groups cost nothing and the
-    # visit order can be front-to-back
     ray_spec = pl.BlockSpec((4, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     tor_spec = lambda w: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-
-    # per-group AABBs (for the kernel's whole-group skip)
-    G = Kp // torus_tile
-    glo = jnp.min(tor_lo.reshape(G, torus_tile, 3), axis=1)
-    ghi = jnp.max(tor_hi.reshape(G, torus_tile, 3), axis=1)
-    gbox = jnp.concatenate([glo, ghi], axis=1)            # (G, 6)
-
-    # front-to-back group visit order: by distance of each group box from
-    # the batch's mean ray origin, so near groups set the running best hit
-    # before far groups are tested (mirrors the triangle kernel's cluster
-    # ordering)
-    mean_o = jnp.mean(origins, axis=1)
-    gdist = jnp.linalg.norm(
-        jnp.maximum(jnp.maximum(glo - mean_o[None, :],
-                                mean_o[None, :] - ghi), 0.0), axis=1)
-    order = jnp.argsort(gdist).astype(jnp.int32)
+    # Mosaic SMEM blocks must be 2D with the sublane dim equal to the
+    # array's and the lane dim 128-aligned: pack each tile's row as
+    # [cnt, visit ids..., pad] in a flat (1, nt*Cp) array, blocked (1, Cp)
+    Cp = ((C + 1 + 127) // 128) * 128
+    packed = jnp.concatenate(
+        [cnt, visit,
+         jnp.zeros((nt, Cp - 1 - C), jnp.int32)], axis=1)     # (nt, Cp)
+    packed = packed.reshape(1, nt * Cp)
+    visit_spec = pl.BlockSpec((1, Cp), lambda i: (0, i),
+                              memory_space=pltpu.SMEM)
 
     emit_attrs = mat_table is not None
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_specs = [smem, smem, ray_spec, ray_spec, row_spec,
+    in_specs = [visit_spec, ray_spec, ray_spec, row_spec,
                 tor_spec(12), tor_spec(2), tor_spec(3), tor_spec(3)]
-    operands = [order, gbox, oh, d4, tm, w2o_rows, rad, tor_lo, tor_hi]
+    operands = [packed, oh, d4, tm, w2o_rows, rad, tor_lo, tor_hi]
     out_specs = [row_spec, row_spec]
     out_shape = [
         jax.ShapeDtypeStruct((1, n), F32),
@@ -641,8 +748,9 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
         out_shape.append(jax.ShapeDtypeStruct((15, n), F32))
 
     out = pl.pallas_call(
-        functools.partial(_torus_kernel, torus_tile=torus_tile,
-                          emit_attrs=emit_attrs, occlusion=occlusion),
+        functools.partial(_torus_kernel, sub=sub,
+                          emit_attrs=emit_attrs, occlusion=occlusion,
+                          span_exact=per_torus),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -652,8 +760,6 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     res = (out[0].reshape(n), out[1].reshape(n))
     return res + ((out[2],) if emit_attrs else ())
 
-
-# ---------------------------------------------------------------------------
 # Combined entry used by trace.intersect
 # ---------------------------------------------------------------------------
 
