@@ -55,15 +55,11 @@ TMIN = F32(0.001)
 RAY_TILE = 2048      # rays per grid step (triangle kernel; lane axis) —
                      # swept on v5e: 2048 is ~2.4x faster than 256 (fewer
                      # grid steps, wider VPU rows); 4096 exceeds VMEM
-TORUS_RAY_TILE = 1024  # rays per grid step (torus kernel; the quartic DAG is
-                       # ~400 SSA values deep — 64-sublane x 1024-lane pair
-                       # tiles keep the Mosaic scoped-vmem stack in budget;
-                       # 64 x 2048 fails to compile)
-TORUS_TILE = 32        # max tori per tile (sublane axis; adapts down to a
-                       # multiple of 8 for small torus counts; swept on the
-                       # 1k-instance grid: 32 edges out 64, 8/16 lose to
-                       # per-step overhead)
-QUARTIC_CHUNK = 8      # tori per gated quartic evaluation inside a group
+TORUS_RAY_TILE = 1024  # rays per grid step (torus kernel); small scenes
+                       # (K <= 64) bump to 2048 — fewer grid steps once the
+                       # chunk walk is short
+TORUS_TILE = 32        # unused; kept so callers passing torus_tile= keep
+                       # working (culling granularity is TORUS_CHUNK now)
 
 _DN0 = (((0,), (0,)), ((), ()))  # contract dim 0 of both operands
 
@@ -419,9 +415,13 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, tlo, thi, rank,
     for j in range(n_sub):
         bits = bits | (spm[:, j, :].astype(jnp.int32) << (16 + j))
     entries = jnp.arange(C, dtype=jnp.int32)[None, :] | bits
-    key = rank[None, :] + jnp.where(anym, 0, C).astype(jnp.int32)
-    key = jnp.broadcast_to(key, (nt, C))
-    _, visit = jax.lax.sort_key_val(key, entries, dimension=1)
+    if C == 1:
+        # single chunk (<= 8 tori): nothing to order, skip the sort
+        visit = entries
+    else:
+        key = rank[None, :] + jnp.where(anym, 0, C).astype(jnp.int32)
+        key = jnp.broadcast_to(key, (nt, C))
+        _, visit = jax.lax.sort_key_val(key, entries, dimension=1)
     cnt = jnp.sum(anym, axis=1).astype(jnp.int32)[:, None]
     return visit, cnt
 
