@@ -22,6 +22,13 @@ precision=HIGHEST (6 bf16 passes per f32 matmul) and most non-matmul work
 on the VPU, so peak-f32 here is taken as 197/4 ≈ 49 TFLOP/s — the usual
 convention for f32-equivalent MFU on v5e. Treat the absolute number as a
 ~2x-accurate roofline, not a measurement.
+
+Because the model charges the BRUTE-FORCE pair count, a value above 1.0 is
+not an error: it means the culling hierarchy (visit lists + span bits +
+running-best pruning) is skipping most of the provisioned work — i.e. the
+kernel beats the all-pairs roofline, as any acceleration structure should
+on a big scene (the 1k-instance grid reports >1 after the exact visit-list
+kernel).
 """
 
 from __future__ import annotations
