@@ -323,25 +323,28 @@ TORUS_CHUNK = 8        # tori per visited chunk (the minimum dynamic sublane
                        # slice granularity)
 
 
-def _chunk_visit_lists(origins, dirs, tmax, clo, chi, tlo, thi, rank,
-                       ray_tile, sub, per_torus):
+def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     """Exact per-ray-tile chunk visit lists with per-span candidate bits,
     computed with plain XLA ops OUTSIDE the kernel (the TLAS traversal
     analog, SURVEY.md §2B).
 
     Every ray is slab-tested against every 8-torus chunk AABB (vectorized,
     chunk-blocked so temporaries stay ~(8, N)), then reduced to
-    "any candidate" per `sub`-lane span. With per_torus (small scenes,
-    K <= 64, where the extra K/C gate cost is trivial) each INDIVIDUAL
-    torus AABB is tested instead — a set bit then proves a real
-    (ray, torus) candidate, letting the kernel skip its per-span
-    any()-reduce gate (span_exact). A tile's passing chunks are
+    "any candidate" per `sub`-lane span. A tile's passing chunks are
     compacted front-to-back by ONE lax.sort_key_val over the key
     `rank + C * miss` (rank = the chunk's near-to-far position), carrying
     packed entries `chunk_id | span_bits << 16` as values — the kernel
     walks the first `cnt` entries via SMEM and runs the quartic only on
     spans whose bit is set. Dead tiles/spans (tmax=0 bounce cull) drop out
     here for free.
+
+    The gate costs ~1 us/Mray/chunk-block of dense XLA; it pays for itself
+    when the chunk walk it prunes is long (K > ~64 tori). Small scenes
+    skip it entirely — see torus_closest_hit_pallas, which feeds the
+    kernel constant all-chunks visit rows and relies on the in-kernel
+    any_live / per-chunk reduce gates instead (measured: a K=8 per-torus
+    exact gate cost 2.2 ms per 2M-ray dispatch, more than the whole
+    6-torus kernel).
 
     (Two earlier designs were slower: scanning all torus groups inside the
     kernel behind per-group SMEM slab gates cost ~16 ms/dispatch on the
@@ -352,9 +355,8 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, tlo, thi, rank,
     axis-aligned sweep.)
 
     origins/dirs: (3, N) rows; tmax: (N,); clo/chi: (C, 3) chunk AABBs;
-    tlo/thi: (C*8, 3) per-torus AABBs (used when per_torus); rank: (C,)
-    i32 front-to-back rank per chunk id; ray_tile/sub: the kernel's tile
-    and span widths (spans per tile <= 15 so the bits fit).
+    rank: (C,) i32 front-to-back rank per chunk id; ray_tile/sub: the
+    kernel's tile and span widths (spans per tile <= 15 so the bits fit).
     Returns (entries (nt, C) i32, cnt (nt, 1) i32) with nt = N // ray_tile.
     """
     C = clo.shape[0]
@@ -367,8 +369,17 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, tlo, thi, rank,
     inv = [_inv_dir(dirs[k]) for k in range(3)]      # 3 x (N,)
     tm = jnp.minimum(tmax, BIG)
 
-    def slab_block(lo_b, hi_b):
-        """(B, N) slab hit mask for a block of B boxes."""
+    B = 8  # chunks per block: bounds temporaries to (B, N)
+    Cb = ((C + B - 1) // B) * B
+    if Cb != C:
+        pad = jnp.full((Cb - C, 3), F32(2.0e38))
+        clo_b = jnp.concatenate([clo, pad])
+        chi_b = jnp.concatenate([chi, pad])
+    else:
+        clo_b, chi_b = clo, chi
+
+    def block(boxes):
+        lo_b, hi_b = boxes                           # (B, 3)
         tn = None
         tf = None
         for k in range(3):
@@ -378,36 +389,12 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, tlo, thi, rank,
             hi_k = jnp.maximum(t0, t1)
             tn = lo_k if tn is None else jnp.maximum(tn, lo_k)
             tf = hi_k if tf is None else jnp.minimum(tf, hi_k)
-        return (tn <= jnp.minimum(tf, tm[None, :])) & (tf >= TMIN)
+        hit = (tn <= jnp.minimum(tf, tm[None, :])) & (tf >= TMIN)  # (B, N)
+        return jnp.any(hit.reshape(B, S, sub), axis=2)             # (B, S)
 
-    if per_torus:
-        # one map step per chunk, testing its 8 individual torus boxes
-        def block(boxes):
-            hit = slab_block(*boxes)                        # (8, N)
-            hit_any = jnp.any(hit, axis=0)                  # (N,)
-            return jnp.any(hit_any.reshape(S, sub), axis=1)  # (S,)
-
-        span_mask = jax.lax.map(
-            block, (tlo.reshape(C, TORUS_CHUNK, 3),
-                    thi.reshape(C, TORUS_CHUNK, 3)))        # (C, S)
-        span_mask = span_mask.T                             # (S, C)
-    else:
-        B = 8  # chunks per block: bounds temporaries to (B, N)
-        Cb = ((C + B - 1) // B) * B
-        if Cb != C:
-            pad = jnp.full((Cb - C, 3), F32(2.0e38))
-            clo_b = jnp.concatenate([clo, pad])
-            chi_b = jnp.concatenate([chi, pad])
-        else:
-            clo_b, chi_b = clo, chi
-
-        def block(boxes):
-            hit = slab_block(*boxes)                        # (B, N)
-            return jnp.any(hit.reshape(B, S, sub), axis=2)  # (B, S)
-
-        span_mask = jax.lax.map(
-            block, (clo_b.reshape(-1, B, 3), chi_b.reshape(-1, B, 3)))
-        span_mask = span_mask.reshape(Cb, S)[:C].T          # (S, C)
+    span_mask = jax.lax.map(
+        block, (clo_b.reshape(-1, B, 3), chi_b.reshape(-1, B, 3)))
+    span_mask = span_mask.reshape(Cb, S)[:C].T       # (S, C)
 
     spm = span_mask.reshape(nt, n_sub, C)
     anym = jnp.any(spm, axis=1)                      # (nt, C)
@@ -415,13 +402,9 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, tlo, thi, rank,
     for j in range(n_sub):
         bits = bits | (spm[:, j, :].astype(jnp.int32) << (16 + j))
     entries = jnp.arange(C, dtype=jnp.int32)[None, :] | bits
-    if C == 1:
-        # single chunk (<= 8 tori): nothing to order, skip the sort
-        visit = entries
-    else:
-        key = rank[None, :] + jnp.where(anym, 0, C).astype(jnp.int32)
-        key = jnp.broadcast_to(key, (nt, C))
-        _, visit = jax.lax.sort_key_val(key, entries, dimension=1)
+    key = rank[None, :] + jnp.where(anym, 0, C).astype(jnp.int32)
+    key = jnp.broadcast_to(key, (nt, C))
+    _, visit = jax.lax.sort_key_val(key, entries, dimension=1)
     cnt = jnp.sum(anym, axis=1).astype(jnp.int32)[:, None]
     return visit, cnt
 
@@ -429,7 +412,7 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, tlo, thi, rank,
 def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
                   rad_ref, lo_ref, hi_ref, *refs, sub: int,
                   emit_attrs: bool, occlusion: bool = False,
-                  span_exact: bool = False):
+                  gated: bool = True):
     """One grid step = one ray tile, which walks ONLY its pre-culled chunk
     visit list (front-to-back; see _chunk_visit_lists). A visit entry's
     span bits say which `sub`-lane spans have candidate rays, so dispatch
@@ -508,22 +491,15 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
         cand = (tn <= jnp.minimum(tf, tlim)) & (tf >= TMIN) \
             & (tms > TMIN)                            # (Kc, sub)
 
-        if span_exact:
-            # the gate tested every individual torus AABB per ray: a set
-            # span bit means real candidates exist, so skip the
-            # vector->scalar any() reduce + branch (it costs ~as much as
-            # the (8, sub) quartic itself)
-            _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs, dys,
-                          dzs, tms)
-        else:
-            # chunk-box gate bits are a superset (rays can cross the
-            # 8-torus union box between tori), and front-to-back visits
-            # make the running-best term in `cand` prune whole spans —
-            # here the any() gate pays for itself many times over
-            @pl.when(jnp.any(cand))
-            def _go():
-                _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs,
-                              dys, dzs, tms)
+        # chunk-box gate bits are a superset (rays can cross the 8-torus
+        # union box between tori), and front-to-back visits make the
+        # running-best term in `cand` prune whole spans — this any() gate
+        # pays for itself many times over (one vector->scalar reduce +
+        # branch per dispatched span, vs a full (8, sub) quartic)
+        @pl.when(jnp.any(cand))
+        def _go():
+            _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs,
+                          dys, dzs, tms)
 
     def _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs, dys, dzs,
                       tms):
@@ -623,7 +599,15 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, visit_ref[0, 0], chunk, 0)
+    if gated:
+        # dead tiles already have cnt == 0 from the XLA gate
+        jax.lax.fori_loop(0, visit_ref[0, 0], chunk, 0)
+    else:
+        # ungated small scenes feed constant all-chunks visit rows: skip
+        # dead tiles (tmax=0 bounce cull) with one whole-tile reduce
+        @pl.when(jnp.any(tmax_ref[...] > TMIN))
+        def _walk():
+            jax.lax.fori_loop(0, visit_ref[0, 0], chunk, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("torus_tile", "ray_tile",
@@ -638,16 +622,24 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     del torus_tile
     n = origins.shape[1]
     K = major.shape[0]
-    if K <= 64 and n % 2048 == 0:
+    gated = K > 64
+    if not gated and n % 2048 == 0:
         # small scenes: halve the grid steps (fixed per-step cost dominates
-        # once the quartic table walk is short); sub widens to 256 below
+        # once the quartic table walk is short)
         ray_tile = max(ray_tile, 2048)
     if n < ray_tile:
         ray_tile = n
     assert n % ray_tile == 0, (n, ray_tile)
-    sub = TORUS_SUB if ray_tile % TORUS_SUB == 0 else ray_tile
-    while ray_tile // sub > 15:   # span bits live in bits 16-30 of an i32
-        sub *= 2
+    if gated:
+        sub = TORUS_SUB if ray_tile % TORUS_SUB == 0 else ray_tile
+        while ray_tile // sub > 15:  # span bits live in bits 16-30 of an i32
+            sub *= 2
+    else:
+        # ungated: the XLA gate costs more than a short chunk walk saves
+        # (a K=8 per-torus gate measured 2.2 ms per 2M-ray dispatch vs a
+        # ~6 ms whole kernel); spans = whole tile, one reduce-gate per
+        # (tile, chunk) inside the kernel, dead tiles skip via any_live
+        sub = ray_tile
     Kp = ((K + TORUS_CHUNK - 1) // TORUS_CHUNK) * TORUS_CHUNK
 
     oh, d4, tm = _rays_to_rows(origins, dirs, tmax)
@@ -705,12 +697,18 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
                                 mean_o[None, :] - chi), 0.0), axis=1)
     rank = jnp.argsort(jnp.argsort(cdist)).astype(jnp.int32)
 
-    per_torus = K <= 64  # individual-torus gate bits for small scenes
-    visit, cnt = _chunk_visit_lists(origins, dirs, tmax, clo, chi,
-                                    tor_lo, tor_hi, rank, ray_tile, sub,
-                                    per_torus)
-
     nt = n // ray_tile
+    if gated:
+        visit, cnt = _chunk_visit_lists(origins, dirs, tmax, clo, chi,
+                                        rank, ray_tile, sub)
+    else:
+        # constant all-chunks visit rows, ordered front-to-back, span bit
+        # always set (the whole tile is one span); the kernel's in-kernel
+        # gates do all the culling
+        order = jnp.argsort(cdist).astype(jnp.int32)
+        row = (order | jnp.int32(1 << 16))[None, :]          # (1, C)
+        visit = jnp.broadcast_to(row, (nt, C))
+        cnt = jnp.full((nt, 1), C, jnp.int32)
     ray_spec = pl.BlockSpec((4, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, ray_tile), lambda i: (0, i),
@@ -750,7 +748,7 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     out = pl.pallas_call(
         functools.partial(_torus_kernel, sub=sub,
                           emit_attrs=emit_attrs, occlusion=occlusion,
-                          span_exact=per_torus),
+                          gated=gated),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=out_specs,
