@@ -89,3 +89,38 @@ def test_sah_vs_morton_clustering():
     a = render(build_scene(sd, use_native=True), cam, RES, RES, st)["image"]
     b = render(build_scene(sd, use_native=False), cam, RES, RES, st)["image"]
     assert rmse(a, b) < 1e-6
+
+
+def test_gated_tri_visit_lists_match_ungated(monkeypatch):
+    """The big-mesh path (exact XLA cluster visit lists + span bits,
+    TRI_GATE_MIN) must produce the same hits as the small-scene in-kernel
+    path: force the gate on for a small mesh and compare the raw kernel
+    outputs (called directly — the renderer's jit would cache the trace
+    made before the monkeypatch)."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+
+    scene = build_scene(procedural.scene_cornellish())
+    geom = isect.geom_from_scene(scene)
+    assert scene.triangles.count > 1024  # multi-cluster mesh
+    cam = PinholeCamera(eye=(0.0, 1.0, 3.5), center=(0.0, 1.0, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    o, d = cam.generate_rays(64, 32, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+
+    def run():
+        out = tk.tri_closest_hit_pallas(
+            o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+            geom.cluster_hi, scene.cluster_size)
+        tk.tri_closest_hit_pallas.clear_cache()
+        return [np.asarray(x) for x in out]
+
+    ref = run()
+    monkeypatch.setattr(tk, "TRI_GATE_MIN", 0)
+    gated = run()
+    for a, b in zip(ref, gated):
+        np.testing.assert_array_equal(a, b)

@@ -64,3 +64,16 @@ def test_torus_kernel_mosaic_parity(renderers):
     bulk = np.sort((a - b).reshape(-1, 3).max(axis=-1) ** 2)
     rmse_bulk = float(np.sqrt(bulk[:-16].mean()))
     assert rmse_bulk < 1e-5, f"bulk rmse {rmse_bulk}"
+
+
+@needs_tpu
+def test_gated_tri_kernel_mosaic_parity(renderers):
+    """Big-mesh path: the tessellated multi-torus scene (23k tris with the
+    default cluster size) crosses TRI_GATE_MIN, so this exercises the
+    Mosaic lowering of the exact visit-list + span-bit triangle kernel."""
+    pair, procedural = renderers
+    a, b = pair(procedural.scene_multi_torus(analytic=False))
+    err = np.abs(a - b).max(axis=-1)
+    n_bad = int((err > 1e-3).sum())
+    assert n_bad <= max(8, err.size // 1000), (
+        f"{n_bad} pixels diverged (expected only isolated edge flips)")

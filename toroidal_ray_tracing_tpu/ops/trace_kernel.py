@@ -78,6 +78,29 @@ def _rays_to_rows(origins, dirs, tmax):
     return oh, d4, tmax.reshape(1, n)
 
 
+def _pack_visit_rows(visit, cnt, nt, C):
+    """Pack per-tile visit rows [cnt, entries..., pad] into the flat
+    (1, nt*Cp) layout Mosaic SMEM blocks require (2D, sublane dim equal to
+    the array's, lane dim 128-aligned), blocked (1, Cp) per grid step."""
+    Cp = ((C + 1 + 127) // 128) * 128
+    packed = jnp.concatenate(
+        [cnt, visit, jnp.zeros((nt, Cp - 1 - C), jnp.int32)], axis=1)
+    spec = pl.BlockSpec((1, Cp), lambda i: (0, i),
+                        memory_space=pltpu.SMEM)
+    return packed.reshape(1, nt * Cp), spec
+
+
+def _const_visit_rows(order, nt):
+    """Constant all-chunks visit rows (front-to-back, single whole-tile
+    span: bit 16 set) for ungated dispatches — the in-kernel gates do all
+    the culling."""
+    C = order.shape[0]
+    row = (order | jnp.int32(1 << 16))[None, :]
+    visit = jnp.broadcast_to(row, (nt, C))
+    cnt = jnp.full((nt, 1), C, jnp.int32)
+    return visit, cnt
+
+
 # ---------------------------------------------------------------------------
 # Triangle kernel
 # ---------------------------------------------------------------------------
@@ -90,40 +113,50 @@ def _inv_dir(dc):
     return jnp.where(ok, r, jnp.where(dc >= 0, F32(3e38), F32(-3e38)))
 
 
-def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
-                woop_o_ref, woop_d_ref, *refs,
-                cluster: int, emit_attrs: bool, occlusion: bool = False):
-    """One grid step = one ray tile vs all triangles (cluster-culled).
+TRI_SUB = 128          # rays per Woop sub-span in gated mode
+TRI_GATE_MIN = 8192    # tris: below this the XLA visit-list gate costs
+                       # more than the short cluster walk it would prune
+
+
+def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
+                woop_o_ref, woop_d_ref, *refs, cluster: int, sub: int,
+                emit_attrs: bool, occlusion: bool = False,
+                gated: bool = True, index_order: bool = False):
+    """One grid step = one ray tile, walking its cluster visit list.
+
+    Structure mirrors _torus_kernel: visit_ref is the tile's packed SMEM
+    row [cnt, entries..., pad] with entry = cluster_id | span_bits << 16.
+    A dispatched (cluster, span) first re-runs the span-vs-cluster-AABB
+    slab against the RUNNING best (clo/chi are SMEM scalar tables), then
+    the Woop unit-triangle test as (4, C)x(4, sub) MXU contractions with a
+    select-based argmin.
+
+    gated: entries carry exact per-span candidate bits from
+    _chunk_visit_lists. Ungated (small scenes): constant all-cluster rows,
+    span = whole tile, plus a whole-tile any_live skip.
+    index_order: visit entry ids are ignored and clusters walk in index
+    order (required when `cluster` is not lane-aligned — a dynamic
+    SMEM-loaded id defeats Mosaic's slice-alignment prover, while
+    loop-var * cluster stays provable).
 
     o/d: (4, R) homogeneous origins ([o,1]^T) and dirs ([d,0]^T).
-    woop_o/woop_d: (3, 4, T). clo/chi: (C, 3) cluster AABBs in SMEM.
-    order: (C,) i32 front-to-back cluster visit order (sorted by distance
-    from the dispatch's mean ray origin) — near clusters set t_best early
-    so the slab test prunes far clusters instead of merely masking them.
-    outs: (1, R) accumulators.
-
+    woop_o/woop_d: (3, 4, T). outs: (1, R) accumulators (+ (21, R) attrs).
     With emit_attrs, per-triangle attribute tables a0/a1/a2 ((21,T)/(8,T)/
-    (8,T): [v0,n0,uv0,material...,uv-density] and the u/v edge deltas) ride
-    along and the kernel emits interpolated shading attributes (21, R) via
-    pick-masked matmuls — XLA row-gathers cost ~1 row/cycle (8+ ms per
+    (8,T)) ride along and the kernel emits interpolated shading attributes
+    via pick-masked matmuls — XLA row-gathers cost ~1 row/cycle (8+ ms per
     2M-ray gather), so gathering 9+ attribute tables in shade() dominated
     whole frames.
+
+    occlusion: any-hit semantics (shadow rays) — once a ray has ANY hit in
+    range, every later cluster is rejected for it outright
+    (TerminateOnFirstHit | SkipClosestHit, raytrace.rchit:96-109).
     """
     if emit_attrs:
         a0_ref, a1_ref, a2_ref, t_out, idx_out, u_out, v_out, attr_out = refs
     else:
         t_out, idx_out, u_out, v_out = refs
     R = o_ref.shape[1]
-    T = woop_o_ref.shape[2]
-    n_clusters = T // cluster
-
-    oh = o_ref[...]               # (4, R)
-    d = d_ref[...]                # (4, R)
-    tmax = tmax_ref[...]          # (1, R)
-    ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]
-    invx = _inv_dir(d[0:1])
-    invy = _inv_dir(d[1:2])
-    invz = _inv_dir(d[2:3])
+    n_sub = R // sub
 
     # accumulators live in the output refs (VMEM-resident across the loop);
     # @pl.when predication instead of lax.cond carries — carried tuples
@@ -135,37 +168,31 @@ def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
     if emit_attrs:
         attr_out[...] = jnp.zeros((21, R), F32)
 
-    any_live = jnp.any(tmax > TMIN)  # dead tiles (tmax=0 bounce cull) skip
-
-    # reordering loads the cluster id from SMEM, making the woop-table slice
-    # offset opaque to Mosaic's alignment prover; the multiple_of claim is
-    # only true when the cluster width is lane-aligned, so fall back to
-    # index order otherwise (small scenes are a single cluster anyway)
-    reorder = n_clusters > 1 and cluster % 128 == 0
-
-    def body(jj, _):
-        if reorder:
-            j = order_ref[jj]
-            base = pl.multiple_of(j * cluster, 128)
-        else:
-            j = jj
-            base = j * cluster
-        t_best = t_out[...]
+    def _woop(c, base, ls):
+        """Woop test of one cluster vs one `sub`-lane span. Rays re-load
+        from the refs at the span's offset (broadcast ops against
+        lane-sliced values are invalid Mosaic layouts)."""
+        oh = o_ref[:, ls]                 # (4, sub)
+        d = d_ref[:, ls]
+        tmax = tmax_ref[0:1, ls]
+        t_cur = t_out[0:1, ls]
         if occlusion:
-            # any-hit semantics (shadow rays): once a ray has ANY hit in
-            # range, reject every later cluster for it outright
-            bound = jnp.where(t_best < BIG, F32(-1.0), tmax)
+            bound = jnp.where(t_cur < BIG, F32(-1.0), tmax)
         else:
-            bound = jnp.minimum(t_best, tmax)
+            bound = jnp.minimum(t_cur, tmax)
 
-        # --- cluster cull: does any ray enter this cluster's AABB closer
-        # than its current best hit? (bounds are SMEM scalars) ---
-        t0x = (clo_ref[j, 0] - ox) * invx
-        t1x = (chi_ref[j, 0] - ox) * invx
-        t0y = (clo_ref[j, 1] - oy) * invy
-        t1y = (chi_ref[j, 1] - oy) * invy
-        t0z = (clo_ref[j, 2] - oz) * invz
-        t1z = (chi_ref[j, 2] - oz) * invz
+        # span-vs-cluster slab against the running best (SMEM scalars):
+        # prunes spans whose candidates were overtaken since gate time
+        ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]
+        invx = _inv_dir(d[0:1])
+        invy = _inv_dir(d[1:2])
+        invz = _inv_dir(d[2:3])
+        t0x = (clo_ref[c, 0] - ox) * invx
+        t1x = (chi_ref[c, 0] - ox) * invx
+        t0y = (clo_ref[c, 1] - oy) * invy
+        t1y = (chi_ref[c, 1] - oy) * invy
+        t0z = (clo_ref[c, 2] - oz) * invz
+        t1z = (chi_ref[c, 2] - oz) * invz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.minimum(t0z, t1z))
@@ -173,7 +200,7 @@ def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
         box_hit = (tn <= jnp.minimum(tf, bound)) \
-            & (tf >= TMIN) & (tmax > TMIN)        # (1, R)
+            & (tf >= TMIN) & (tmax > TMIN)        # (1, sub)
 
         @pl.when(jnp.any(box_hit))
         def _():
@@ -181,7 +208,7 @@ def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
             wd = woop_d_ref[:, :, pl.ds(base, cluster)]
             hp = jax.lax.Precision.HIGHEST
 
-            def dot0(a, b):  # (4, C) x (4, R) -> (C, R)
+            def dot0(a, b):  # (4, C) x (4, sub) -> (C, sub)
                 return jax.lax.dot_general(
                     a, b, _DN0, precision=hp,
                     preferred_element_type=jnp.float32)
@@ -205,23 +232,24 @@ def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
 
             # select-based argmin (no gathers on TPU): smallest row
             # achieving the column minimum, then one-hot select of u/v
-            t_tile = jnp.min(t, axis=0, keepdims=True)    # (1, R)
+            t_tile = jnp.min(t, axis=0, keepdims=True)    # (1, sub)
             rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
             arg = jnp.min(jnp.where(t <= t_tile, rows, cluster), axis=0,
-                          keepdims=True)                  # (1, R)
+                          keepdims=True)
             pick = rows == arg
             u_sel = jnp.sum(jnp.where(pick, u, 0.0), axis=0, keepdims=True)
             v_sel = jnp.sum(jnp.where(pick, v, 0.0), axis=0, keepdims=True)
-            better = t_tile < t_out[...]
-            t_out[...] = jnp.where(better, t_tile, t_out[...])
-            idx_out[...] = jnp.where(better, base + arg, idx_out[...])
-            u_out[...] = jnp.where(better, u_sel, u_out[...])
-            v_out[...] = jnp.where(better, v_sel, v_out[...])
+            better = t_tile < t_cur
+            t_out[0:1, ls] = jnp.where(better, t_tile, t_cur)
+            idx_out[0:1, ls] = jnp.where(better, base + arg,
+                                         idx_out[0:1, ls])
+            u_out[0:1, ls] = jnp.where(better, u_sel, u_out[0:1, ls])
+            v_out[0:1, ls] = jnp.where(better, v_sel, v_out[0:1, ls])
 
             if emit_attrs:
                 # interpolated attributes of the winning triangle, selected
                 # on the MXU: attr = A0[p] + u*A1[p] + v*A2[p] with p the
-                # per-ray pick, expressed as (A, C) @ (C, R) matmuls over
+                # per-ray pick, expressed as (A, C) @ (C, sub) matmuls over
                 # the pick mask (K = C: full MXU contraction, unlike the
                 # K=4 Woop dots)
                 pickf = pick.astype(jnp.float32)
@@ -237,13 +265,34 @@ def _tri_kernel(clo_ref, chi_ref, order_ref, o_ref, d_ref, tmax_ref,
                              precision=hp,
                              preferred_element_type=jnp.float32)
                 new = jnp.concatenate([n0[0:8] + n1 + n2, n0[8:21]], axis=0)
-                attr_out[...] = jnp.where(better, new, attr_out[...])
+                attr_cur = attr_out[:, ls]
+                attr_out[:, ls] = jnp.where(better, new, attr_cur)
+
+    def body(v, _):
+        e = visit_ref[0, 1 + v]
+        if index_order:
+            # single cluster (scene/build adapts cluster_size so multi-
+            # cluster tables are always 128-aligned): static offsets
+            c = 0
+            base = 0
+        else:
+            c = e & 0xFFFF
+            base = pl.multiple_of(c * cluster, 128)
+        for j in range(n_sub):
+            ls = slice(j * sub, (j + 1) * sub)
+
+            @pl.when(((e >> (16 + j)) & 1) == 1)
+            def _(c=c, base=base, ls=ls):
+                _woop(c, base, ls)
 
         return 0
 
-    @pl.when(any_live)
-    def _():
-        jax.lax.fori_loop(0, n_clusters, body, 0)
+    if gated:
+        jax.lax.fori_loop(0, visit_ref[0, 0], body, 0)
+    else:
+        @pl.when(jnp.any(tmax_ref[...] > TMIN))
+        def _walk():
+            jax.lax.fori_loop(0, visit_ref[0, 0], body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cluster", "ray_tile",
@@ -255,12 +304,29 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
     """origins/dirs: (3, N) rows; woop_o: (3, 4, T); woop_d: (3, 3, T);
     cluster_*: (C, 3). N must be a multiple of ray_tile. attr_tables:
     optional ((21,T), (8,T), (8,T)) shading-attribute tables — when given,
-    a fifth (21, N) output carries the winner's interpolated attributes."""
+    a fifth (21, N) output carries the winner's interpolated attributes.
+
+    Culling is hybrid like the torus kernel: big meshes (T > TRI_GATE_MIN)
+    get exact XLA visit lists with 128-lane span bits (_chunk_visit_lists
+    over the cluster AABBs); small ones walk every cluster behind in-kernel
+    slab gates (the XLA gate would cost more than it prunes)."""
     n = origins.shape[1]
     T = woop_o.shape[2]
+    emit_attrs = attr_tables is not None
+    n_clusters = cluster_lo.shape[0]
+
+    gated = T > TRI_GATE_MIN and cluster % 128 == 0 and n % 1024 == 0
+    if gated:
+        # finer tiles = tighter span frusta; a 23k-tri mesh averages 1.4
+        # clusters per 128-ray span vs 7.8 per 2048-ray tile
+        ray_tile = min(ray_tile, 1024)
+        sub = TRI_SUB
+    else:
+        if n < ray_tile:
+            ray_tile = n
+        sub = ray_tile
     assert n % ray_tile == 0, n
     nt = n // ray_tile
-    emit_attrs = attr_tables is not None
 
     oh, d4, tm = _rays_to_rows(origins, dirs, tmax)
     # pad woop_d input dim 3 -> 4 so both matmuls share the (4, R) operand
@@ -274,15 +340,37 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     # front-to-back cluster visit order (by distance from the batch's mean
-    # origin): near clusters fill t_best first, so the in-kernel slab test
-    # prunes far clusters outright instead of merely masking their pairs
-    centers = (jnp.asarray(cluster_lo) + jnp.asarray(cluster_hi)) * 0.5
+    # origin): near clusters fill t_best first, so the slab tests prune far
+    # clusters outright instead of merely masking their pairs
+    clo = jnp.asarray(cluster_lo)
+    chi = jnp.asarray(cluster_hi)
     mean_o = jnp.mean(origins, axis=1)
-    order = jnp.argsort(
-        jnp.sum((centers - mean_o[None, :]) ** 2, axis=1)).astype(jnp.int32)
+    cdist = jnp.linalg.norm(
+        jnp.maximum(jnp.maximum(clo - mean_o[None, :],
+                                mean_o[None, :] - chi), 0.0), axis=1)
+    index_order = False
+    if gated:
+        rank = jnp.argsort(jnp.argsort(cdist)).astype(jnp.int32)
+        visit, cnt = _chunk_visit_lists(origins, dirs, tmax, clo, chi,
+                                        rank, ray_tile, sub)
+    elif n_clusters > 1 and cluster % 128 == 0:
+        visit, cnt = _const_visit_rows(
+            jnp.argsort(cdist).astype(jnp.int32), nt)
+    else:
+        # a single (possibly unaligned) cluster: a dynamic SMEM-loaded id
+        # defeats Mosaic's lane-alignment prover, so the kernel uses
+        # static offset 0 (scene/build guarantees multi-cluster tables are
+        # 128-aligned: cluster_size only shrinks when one cluster holds
+        # the whole soup)
+        assert n_clusters == 1, (n_clusters, cluster)
+        index_order = True
+        visit, cnt = _const_visit_rows(
+            jnp.arange(n_clusters, dtype=jnp.int32), nt)
+    packed, visit_spec = _pack_visit_rows(visit, cnt, nt, n_clusters)
 
-    in_specs = [smem, smem, smem, ray_spec, ray_spec, row_spec, full, full]
-    operands = [cluster_lo, cluster_hi, order, oh, d4, tm, woop_o, wd4]
+    in_specs = [visit_spec, smem, smem, ray_spec, ray_spec, row_spec,
+                full, full]
+    operands = [packed, cluster_lo, cluster_hi, oh, d4, tm, woop_o, wd4]
     out_specs = [row_spec, row_spec, row_spec, row_spec]
     out_shape = [
         jax.ShapeDtypeStruct((1, n), F32),
@@ -298,8 +386,9 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
         out_shape.append(jax.ShapeDtypeStruct((21, n), F32))
 
     out = pl.pallas_call(
-        functools.partial(_tri_kernel, cluster=cluster,
-                          emit_attrs=emit_attrs, occlusion=occlusion),
+        functools.partial(_tri_kernel, cluster=cluster, sub=sub,
+                          emit_attrs=emit_attrs, occlusion=occlusion,
+                          gated=gated, index_order=index_order),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -702,28 +791,15 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
         visit, cnt = _chunk_visit_lists(origins, dirs, tmax, clo, chi,
                                         rank, ray_tile, sub)
     else:
-        # constant all-chunks visit rows, ordered front-to-back, span bit
-        # always set (the whole tile is one span); the kernel's in-kernel
-        # gates do all the culling
+        # the kernel's in-kernel gates do all the culling
         order = jnp.argsort(cdist).astype(jnp.int32)
-        row = (order | jnp.int32(1 << 16))[None, :]          # (1, C)
-        visit = jnp.broadcast_to(row, (nt, C))
-        cnt = jnp.full((nt, 1), C, jnp.int32)
+        visit, cnt = _const_visit_rows(order, nt)
     ray_spec = pl.BlockSpec((4, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     tor_spec = lambda w: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    # Mosaic SMEM blocks must be 2D with the sublane dim equal to the
-    # array's and the lane dim 128-aligned: pack each tile's row as
-    # [cnt, visit ids..., pad] in a flat (1, nt*Cp) array, blocked (1, Cp)
-    Cp = ((C + 1 + 127) // 128) * 128
-    packed = jnp.concatenate(
-        [cnt, visit,
-         jnp.zeros((nt, Cp - 1 - C), jnp.int32)], axis=1)     # (nt, Cp)
-    packed = packed.reshape(1, nt * Cp)
-    visit_spec = pl.BlockSpec((1, Cp), lambda i: (0, i),
-                              memory_space=pltpu.SMEM)
+    packed, visit_spec = _pack_visit_rows(visit, cnt, nt, C)
 
     emit_attrs = mat_table is not None
     in_specs = [visit_spec, ray_spec, ray_spec, row_spec,

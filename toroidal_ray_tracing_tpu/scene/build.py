@@ -243,7 +243,7 @@ def build_texture_atlas(textures: list) -> TextureAtlas:
 
 def build_scene(
     scene_def: SceneDef,
-    cluster_size: int = 256,
+    cluster_size: int = 128,
     use_native: bool = True,
 ) -> Scene:
     """Flatten a SceneDef into a device-ready Scene pytree (NumPy arrays; JAX
