@@ -22,6 +22,9 @@ def rmse(a, b):
     ("cornellish", lambda: procedural.scene_cornellish, 2),
     ("torus_plane", lambda: procedural.scene_torus_plane(True), 1),
     ("instanced", lambda: procedural.scene_instanced_torus_grid(n=32), 2),
+    # 128 tori crosses the K > 64 threshold: exercises the exact
+    # visit-list + span-bit torus path (ops/trace_kernel._chunk_visit_lists)
+    ("instanced_gated", lambda: procedural.scene_instanced_torus_grid(n=128), 2),
 ])
 def test_pallas_matches_jnp(name, sd, depth):
     sdef = sd() if name != "cornellish" else procedural.scene_cornellish()

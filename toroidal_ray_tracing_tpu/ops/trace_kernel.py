@@ -15,16 +15,17 @@ XLA temps for a 1080p wavefront. Dense rows cut that to ~66 MB/buffer.)
 Per-primitive quantities sit on sublanes as (K, 1) columns, so pair tiles
 are (prims, rays) and argmin reductions run over sublanes.
 
-Structure per grid step (one ray tile):
-  * triangles: whole Woop table resident in VMEM; cluster AABBs in SMEM are
-    slab-tested per cluster (6 scalar reads), and `pl.when` skips a cluster
-    when no live ray enters its box closer than its current best hit (the
-    TLAS/BLAS culling analog, SURVEY.md §2B).
-  * tori: full per-torus tables resident in VMEM; each ray tile walks a
-    pre-culled front-to-back visit list of 8-torus chunks (exact per-ray
-    slab gates computed by vectorized XLA — _chunk_visit_lists — and fed
-    in through SMEM), and the Ferrari quartic runs per 128-lane span,
-    dispatched by per-span candidate bits packed into the visit entries.
+Structure per grid step (one ray tile): both kernels walk a front-to-back
+VISIT LIST of primitive blocks (triangle clusters / 8-torus chunks) read
+from SMEM, with the pair test (Woop MXU contraction / Ferrari quartic)
+dispatched per 128-lane span. Culling is hybrid (the TLAS/BLAS traversal
+analog, SURVEY.md §2B):
+  * big scenes (T > TRI_GATE_MIN tris or K > 64 tori): exact per-ray slab
+    gates computed by vectorized XLA (_chunk_visit_lists) compact each
+    tile's candidate blocks and per-span bits before the kernel runs;
+  * small scenes: constant all-blocks visit rows — in-kernel slab gates
+    against the running best do the culling (the XLA gate would cost more
+    than the short walk it prunes).
 
 Both kernels support an any-hit `occlusion` mode for shadow queries: a ray
 with any in-range hit rejects all remaining clusters/chunks (the
@@ -454,6 +455,7 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     nt = n // ray_tile
     n_sub = ray_tile // sub
     assert n_sub <= 15, n_sub
+    assert C <= 0xFFFF, C  # ids share an i32 with the span bits
 
     inv = [_inv_dir(dirs[k]) for k in range(3)]      # 3 x (N,)
     tm = jnp.minimum(tmax, BIG)
@@ -478,7 +480,11 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
             hi_k = jnp.maximum(t0, t1)
             tn = lo_k if tn is None else jnp.maximum(tn, lo_k)
             tf = hi_k if tf is None else jnp.minimum(tf, hi_k)
-        hit = (tn <= jnp.minimum(tf, tm[None, :])) & (tf >= TMIN)  # (B, N)
+        # the explicit live term matters: a dead ray (tmax=0 bounce cull)
+        # parked ON geometry has its origin inside nearby boxes, where
+        # tn < 0 <= min(tf, 0) passes the slab alone
+        hit = (tn <= jnp.minimum(tf, tm[None, :])) & (tf >= TMIN) \
+            & (tm[None, :] > TMIN)                                 # (B, N)
         return jnp.any(hit.reshape(B, S, sub), axis=2)             # (B, S)
 
     span_mask = jax.lax.map(
