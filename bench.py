@@ -147,7 +147,7 @@ def _write_ladder(backend, headline, headline_mfu):
         # dispatch round trip per frame, which dominates small frames).
         # Small frames get the reference's 60-frames-per-step cadence
         # (main.cpp:337-341) so the single dispatch RTT amortizes away.
-        seq_frames = {1: 60, 2: 60, 3: 16, 4: 16, 5: 8}[n]
+        seq_frames = {1: 60, 2: 60, 3: 16, 4: 16, 5: 8, 6: 16}[n]
         _, seq = run_scenario(n, backend=backend, frames=seq_frames,
                               sequence=True)
         row["mrays_per_s_sequence"] = seq["mrays_per_s"]

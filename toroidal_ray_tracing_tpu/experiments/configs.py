@@ -101,6 +101,15 @@ SCENARIOS = {
     5: Scenario("config5_4k_flythrough",
                 lambda: procedural.scene_multi_torus(analytic=True),
                 3840, 2160, 3, spp=2, animate_frames=8),
+    # extension beyond the BASELINE five: the reference's real workload is
+    # triangle meshes (OBJ models), so track a tessellated-mesh scenario —
+    # 23k triangles crosses TRI_GATE_MIN and exercises the exact
+    # visit-list triangle traversal
+    6: Scenario("config6_mesh_torus",
+                lambda: procedural.scene_multi_torus(analytic=False),
+                1920, 1080, 3,
+                camera=PinholeCamera(eye=(8.0, 5.0, 8.0),
+                                     center=(0.0, 0.5, 0.0))),
 }
 
 
