@@ -120,9 +120,10 @@ TRI_GATE_MIN = 8192    # tris: below this the XLA visit-list gate costs
 
 
 def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
-                woop_o_ref, woop_d_ref, *refs, cluster: int, sub: int,
-                emit_attrs: bool, occlusion: bool = False,
-                gated: bool = True, index_order: bool = False):
+                woop_o_ref, woop_d_ref, wrows_ref, *refs, cluster: int,
+                sub: int, emit_attrs: bool, occlusion: bool = False,
+                gated: bool = True, index_order: bool = False,
+                vpu_dots: bool = False, skip_box: bool = False):
     """One grid step = one ray tile, walking its cluster visit list.
 
     Structure mirrors _torus_kernel: visit_ref is the tile's packed SMEM
@@ -182,44 +183,72 @@ def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
         else:
             bound = jnp.minimum(t_cur, tmax)
 
-        # span-vs-cluster slab against the running best (SMEM scalars):
-        # prunes spans whose candidates were overtaken since gate time
-        ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]
-        invx = _inv_dir(d[0:1])
-        invy = _inv_dir(d[1:2])
-        invz = _inv_dir(d[2:3])
-        t0x = (clo_ref[c, 0] - ox) * invx
-        t1x = (chi_ref[c, 0] - ox) * invx
-        t0y = (clo_ref[c, 1] - oy) * invy
-        t1y = (chi_ref[c, 1] - oy) * invy
-        t0z = (clo_ref[c, 2] - oz) * invz
-        t1z = (chi_ref[c, 2] - oz) * invz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        box_hit = (tn <= jnp.minimum(tf, bound)) \
-            & (tf >= TMIN) & (tmax > TMIN)        # (1, sub)
+        if skip_box:
+            # single-cluster scenes: the box gate can't skip ahead to
+            # anything (there is nothing after this cluster), and its
+            # slab + vector->scalar any() reduce cost MORE per tile than
+            # just running the tiny Woop test; any_live already skips
+            # dead tiles
+            box_hit = None
+        else:
+            # span-vs-cluster slab against the running best (SMEM
+            # scalars): prunes spans whose candidates were overtaken
+            # since gate time
+            ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]
+            invx = _inv_dir(d[0:1])
+            invy = _inv_dir(d[1:2])
+            invz = _inv_dir(d[2:3])
+            t0x = (clo_ref[c, 0] - ox) * invx
+            t1x = (chi_ref[c, 0] - ox) * invx
+            t0y = (clo_ref[c, 1] - oy) * invy
+            t1y = (chi_ref[c, 1] - oy) * invy
+            t0z = (clo_ref[c, 2] - oz) * invz
+            t1z = (chi_ref[c, 2] - oz) * invz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            box_hit = (tn <= jnp.minimum(tf, bound)) \
+                & (tf >= TMIN) & (tmax > TMIN)    # (1, sub)
 
-        @pl.when(jnp.any(box_hit))
-        def _():
-            wo = woop_o_ref[:, :, pl.ds(base, cluster)]   # (3, 4, C)
-            wd = woop_d_ref[:, :, pl.ds(base, cluster)]
+        def _run_woop():
             hp = jax.lax.Precision.HIGHEST
+            if vpu_dots:
+                # tiny clusters: six K=4 MXU matmuls are all pipeline-fill
+                # latency (~4 us/tile for an 8-triangle scene); broadcast
+                # MACs over (C, 1) column slices of the row-major table
+                # run the same contraction in ~40 vector ops
+                w = wrows_ref[pl.ds(base, cluster), :]    # (C, 24)
 
-            def dot0(a, b):  # (4, C) x (4, sub) -> (C, sub)
-                return jax.lax.dot_general(
-                    a, b, _DN0, precision=hp,
-                    preferred_element_type=jnp.float32)
+                def dotv(off, b):
+                    acc = w[:, off:off + 1] * b[0:1]
+                    for i in range(1, 4):
+                        acc = acc + w[:, off + i:off + i + 1] * b[i:i + 1]
+                    return acc                            # (C, sub)
 
-            opx = dot0(wo[0], oh)
-            opy = dot0(wo[1], oh)
-            opz = dot0(wo[2], oh)
-            dpx = dot0(wd[0], d)
-            dpy = dot0(wd[1], d)
-            dpz = dot0(wd[2], d)
+                opx = dotv(0, oh)
+                opy = dotv(4, oh)
+                opz = dotv(8, oh)
+                dpx = dotv(12, d)
+                dpy = dotv(16, d)
+                dpz = dotv(20, d)
+            else:
+                wo = woop_o_ref[:, :, pl.ds(base, cluster)]   # (3, 4, C)
+                wd = woop_d_ref[:, :, pl.ds(base, cluster)]
+
+                def dot0(a, b):  # (4, C) x (4, sub) -> (C, sub)
+                    return jax.lax.dot_general(
+                        a, b, _DN0, precision=hp,
+                        preferred_element_type=jnp.float32)
+
+                opx = dot0(wo[0], oh)
+                opy = dot0(wo[1], oh)
+                opz = dot0(wo[2], oh)
+                dpx = dot0(wd[0], d)
+                dpy = dot0(wd[1], d)
+                dpz = dot0(wd[2], d)
 
             dz_ok = jnp.abs(dpz) > F32(1e-12)
             inv_dz = jnp.where(dz_ok, F32(1.0), F32(0.0)) / \
@@ -268,6 +297,11 @@ def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
                 new = jnp.concatenate([n0[0:8] + n1 + n2, n0[8:21]], axis=0)
                 attr_cur = attr_out[:, ls]
                 attr_out[:, ls] = jnp.where(better, new, attr_cur)
+
+        if skip_box:
+            _run_woop()
+        else:
+            pl.when(jnp.any(box_hit))(_run_woop)
 
     def body(v, _):
         e = visit_ref[0, 1 + v]
@@ -369,9 +403,16 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
             jnp.arange(n_clusters, dtype=jnp.int32), nt)
     packed, visit_spec = _pack_visit_rows(visit, cnt, nt, n_clusters)
 
+    # row-major table for the tiny-cluster VPU dot path (cols 0-11:
+    # woop_o[k][i] at k*4+i; 12-23: padded woop_d)
+    vpu_dots = cluster <= 32
+    wrows = jnp.concatenate(
+        [woop_o.transpose(2, 0, 1).reshape(T, 12),
+         wd4.transpose(2, 0, 1).reshape(T, 12)], axis=1)
     in_specs = [visit_spec, smem, smem, ray_spec, ray_spec, row_spec,
-                full, full]
-    operands = [packed, cluster_lo, cluster_hi, oh, d4, tm, woop_o, wd4]
+                full, full, full]
+    operands = [packed, cluster_lo, cluster_hi, oh, d4, tm, woop_o, wd4,
+                wrows]
     out_specs = [row_spec, row_spec, row_spec, row_spec]
     out_shape = [
         jax.ShapeDtypeStruct((1, n), F32),
@@ -389,7 +430,8 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
     out = pl.pallas_call(
         functools.partial(_tri_kernel, cluster=cluster, sub=sub,
                           emit_attrs=emit_attrs, occlusion=occlusion,
-                          gated=gated, index_order=index_order),
+                          gated=gated, index_order=index_order,
+                          vpu_dots=vpu_dots, skip_box=n_clusters == 1),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=out_specs,
