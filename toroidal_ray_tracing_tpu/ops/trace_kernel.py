@@ -404,11 +404,16 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
     packed, visit_spec = _pack_visit_rows(visit, cnt, nt, n_clusters)
 
     # row-major table for the tiny-cluster VPU dot path (cols 0-11:
-    # woop_o[k][i] at k*4+i; 12-23: padded woop_d)
+    # woop_o[k][i] at k*4+i; 12-23: padded woop_d). Only materialized when
+    # that path is active: at 23k tris the unused copy cost 2.2 MB of the
+    # kernel's 16 MB scoped-VMEM budget and OOMed the big-mesh compile.
     vpu_dots = cluster <= 32
-    wrows = jnp.concatenate(
-        [woop_o.transpose(2, 0, 1).reshape(T, 12),
-         wd4.transpose(2, 0, 1).reshape(T, 12)], axis=1)
+    if vpu_dots:
+        wrows = jnp.concatenate(
+            [woop_o.transpose(2, 0, 1).reshape(T, 12),
+             wd4.transpose(2, 0, 1).reshape(T, 12)], axis=1)
+    else:
+        wrows = jnp.zeros((8, 24), F32)  # placeholder (kernel ignores it)
     in_specs = [visit_spec, smem, smem, ray_spec, ray_spec, row_spec,
                 full, full, full]
     operands = [packed, cluster_lo, cluster_hi, oh, d4, tm, woop_o, wd4,
