@@ -29,6 +29,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 sys.path.insert(0, {repo!r})
 import jax
+# the parent strips PYTHONPATH so the axon sitecustomize pin never loads,
+# but force the backend through config too (CLAUDE.md: the env var alone
+# does not override an already-registered pin)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 jax.distributed.initialize(f"localhost:{{port}}", 2, rank)
 import numpy as np
@@ -61,7 +65,12 @@ print(f"RANK_OK {{rank}} worst={{worst:.2e}}", flush=True)
 def test_two_process_dcn_render(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
-    port = "29581"
+    # OS-assigned free port: a fixed one collides with concurrent runs and
+    # the failure would be masked as a skip
+    import socket
+    with socket.socket() as sk:
+        sk.bind(("localhost", 0))
+        port = str(sk.getsockname()[1])
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
     procs = [subprocess.Popen(

@@ -127,3 +127,18 @@ def test_gated_tri_visit_lists_match_ungated(monkeypatch):
     gated = run()
     for a, b in zip(ref, gated):
         np.testing.assert_array_equal(a, b)
+
+
+def test_unaligned_cluster_size_rounds_up():
+    """build_scene(cluster_size=64) on a multi-cluster mesh must round the
+    width to a 128-multiple (the kernel lane-slices tables by dynamic
+    cluster id, which Mosaic only allows at 128-aligned offsets) — and the
+    render must still match the default build."""
+    sd = procedural.scene_cornellish()
+    scene64 = build_scene(sd, cluster_size=64)
+    assert scene64.cluster_size % 128 == 0
+    cam = PinholeCamera(eye=(0.0, 1.0, 3.5), center=(0.0, 1.0, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    a = render(build_scene(sd), cam, RES, RES, st, backend="pallas")["image"]
+    b = render(scene64, cam, RES, RES, st, backend="pallas")["image"]
+    assert rmse(a, b) < 1e-5

@@ -114,6 +114,26 @@ def _inv_dir(dc):
     return jnp.where(ok, r, jnp.where(dc >= 0, F32(3e38), F32(-3e38)))
 
 
+def _slab_cols(lo, hi, ox, oy, oz, ivx, ivy, ivz):
+    """AABB slab entry/exit for boxes-on-sublanes vs rays-on-lanes:
+    lo/hi (K, 3) column tables, per-ray rows (1, R). Returns (tn, tf),
+    each (K, R). Used identically by the XLA gate and the in-kernel
+    refine — keep them in lockstep (the gate must stay a superset)."""
+    t0x = (lo[:, 0:1] - ox) * ivx
+    t1x = (hi[:, 0:1] - ox) * ivx
+    t0y = (lo[:, 1:2] - oy) * ivy
+    t1y = (hi[:, 1:2] - oy) * ivy
+    t0z = (lo[:, 2:3] - oz) * ivz
+    t1z = (hi[:, 2:3] - oz) * ivz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                 jnp.minimum(t0y, t1y)),
+                     jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                 jnp.maximum(t0y, t1y)),
+                     jnp.maximum(t0z, t1z))
+    return tn, tf
+
+
 TRI_SUB = 128          # rays per Woop sub-span in gated mode
 TRI_GATE_MIN = 8192    # tris: below this the XLA visit-list gate costs
                        # more than the short cluster walk it would prune
@@ -518,15 +538,11 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
 
     def block(boxes):
         lo_b, hi_b = boxes                           # (B, 3)
-        tn = None
-        tf = None
-        for k in range(3):
-            t0 = (lo_b[:, k:k + 1] - origins[k][None, :]) * inv[k][None, :]
-            t1 = (hi_b[:, k:k + 1] - origins[k][None, :]) * inv[k][None, :]
-            lo_k = jnp.minimum(t0, t1)
-            hi_k = jnp.maximum(t0, t1)
-            tn = lo_k if tn is None else jnp.maximum(tn, lo_k)
-            tf = hi_k if tf is None else jnp.minimum(tf, hi_k)
+        tn, tf = _slab_cols(lo_b, hi_b,
+                            origins[0][None, :], origins[1][None, :],
+                            origins[2][None, :],
+                            inv[0][None, :], inv[1][None, :],
+                            inv[2][None, :])
         # the explicit live term matters: a dead ray (tmax=0 bounce cull)
         # parked ON geometry has its origin inside nearby boxes, where
         # tn < 0 <= min(tf, 0) passes the slab alone
@@ -617,19 +633,8 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
             tlim = jnp.minimum(tms, t_cur0)
         lo = lo_ref[pl.ds(base, TORUS_CHUNK), :]      # (Kc, 3)
         hi = hi_ref[pl.ds(base, TORUS_CHUNK), :]
-        ivx, ivy, ivz = _inv_dir(dxs), _inv_dir(dys), _inv_dir(dzs)
-        t0x = (lo[:, 0:1] - oxs) * ivx
-        t1x = (hi[:, 0:1] - oxs) * ivx
-        t0y = (lo[:, 1:2] - oys) * ivy
-        t1y = (hi[:, 1:2] - oys) * ivy
-        t0z = (lo[:, 2:3] - ozs) * ivz
-        t1z = (hi[:, 2:3] - ozs) * ivz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
+        tn, tf = _slab_cols(lo, hi, oxs, oys, ozs,
+                            _inv_dir(dxs), _inv_dir(dys), _inv_dir(dzs))
         cand = (tn <= jnp.minimum(tf, tlim)) & (tf >= TMIN) \
             & (tms > TMIN)                            # (Kc, sub)
 

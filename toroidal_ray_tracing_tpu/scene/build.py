@@ -351,6 +351,11 @@ def build_scene(
     # the trace doesn't pay for padding rows; multiples of 8 keep Mosaic's
     # f32 sublane tiling happy
     cluster_size = min(cluster_size, max(_round_up(n_real, 8), 8))
+    if n_real > cluster_size and cluster_size % 128 != 0:
+        # multi-cluster tables are dynamically lane-sliced by cluster id in
+        # the trace kernel, which requires 128-aligned offsets (Mosaic's
+        # alignment prover); round the width up rather than reject
+        cluster_size = _round_up(cluster_size, 128)
 
     # --- cluster assignment: native binned-SAH leaves when available, else
     # Morton sort + fixed chunking. `slots` maps padded cluster positions to
