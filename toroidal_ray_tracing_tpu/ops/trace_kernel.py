@@ -476,8 +476,15 @@ TORUS_SUB = 128        # rays per quartic sub-tile: a visited chunk's pair
                        # mask gates the quartic per (8, SUB) block — exactly
                        # one vreg per op, so a tile evaluates the quartic
                        # only on the 128-lane spans that have candidates
-TORUS_CHUNK = 8        # tori per visited chunk (the minimum dynamic sublane
-                       # slice granularity)
+TORUS_CHUNK = 8        # tori per visited chunk, ungated scenes (the
+                       # minimum dynamic sublane slice granularity; K <= 64
+                       # scenes round Kp up to this, so bigger chunks would
+                       # just pad the quartic — 16 cost the 4-torus headline
+                       # scene +40%)
+GATED_TORUS_CHUNK = 16  # tori per chunk with exact visit lists: halves the
+                       # gate and chunk-walk overheads; on the 1k-instance
+                       # grid 16 beats both 8 (30 ms) and 32 (25.7 ms) at
+                       # 24.9 ms per 2M-ray dispatch
 
 
 def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
@@ -568,7 +575,7 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
 
 
 def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
-                  rad_ref, lo_ref, hi_ref, *refs, sub: int,
+                  rad_ref, lo_ref, hi_ref, *refs, sub: int, chunk: int,
                   emit_attrs: bool, occlusion: bool = False,
                   gated: bool = True):
     """One grid step = one ray tile, which walks ONLY its pre-culled chunk
@@ -583,7 +590,7 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
     (see _chunk_visit_lists's caller).
     Per-torus tables (w2o (Kp, 12), rad (Kp, 2), lo/hi (Kp, 3) world
     AABBs — 32 f32/torus, ~128 KB at 1k tori) stay fully VMEM-resident; a
-    visited chunk dynamically slices TORUS_CHUNK of their rows on sublanes.
+    visited chunk dynamically slices `chunk` of their rows on sublanes.
 
     Culling is slab-tested world AABBs — much tighter than bounding spheres
     for flat/tilted tori (a 0.35/0.12 grid torus has AABB half-height 0.12
@@ -618,7 +625,7 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
         layout" — while ref loads start a fresh, offset-free layout), and
         the per-torus slab refine is recomputed here against the running
         best (tighter than the tile-level gate mask)."""
-        w = w2o_ref[pl.ds(base, TORUS_CHUNK), :]    # (Kc, 12)
+        w = w2o_ref[pl.ds(base, chunk), :]          # (Kc, 12)
 
         def col(i):
             return w[:, i:i + 1]
@@ -631,8 +638,8 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
             tlim = jnp.where(t_cur0 < BIG, F32(-1.0), tms)
         else:
             tlim = jnp.minimum(tms, t_cur0)
-        lo = lo_ref[pl.ds(base, TORUS_CHUNK), :]      # (Kc, 3)
-        hi = hi_ref[pl.ds(base, TORUS_CHUNK), :]
+        lo = lo_ref[pl.ds(base, chunk), :]            # (Kc, 3)
+        hi = hi_ref[pl.ds(base, chunk), :]
         tn, tf = _slab_cols(lo, hi, oxs, oys, ozs,
                             _inv_dir(dxs), _inv_dir(dys), _inv_dir(dzs))
         cand = (tn <= jnp.minimum(tf, tlim)) & (tf >= TMIN) \
@@ -658,7 +665,7 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
         dyo = col(4) * dxs + col(5) * dys + col(6) * dzs
         dzo = col(8) * dxs + col(9) * dys + col(10) * dzs
 
-        rad = rad_ref[pl.ds(base, TORUS_CHUNK), :]  # (Kc, 2)
+        rad = rad_ref[pl.ds(base, chunk), :]        # (Kc, 2)
         Rmaj = rad[:, 0:1]
         rmin = rad[:, 1:2]
 
@@ -691,7 +698,7 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
 
         t_tile = jnp.min(t, axis=0, keepdims=True)
         rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        arg = jnp.min(jnp.where(t <= t_tile, rows, TORUS_CHUNK),
+        arg = jnp.min(jnp.where(t <= t_tile, rows, chunk),
                       axis=0, keepdims=True)
         t_cur = t_out[0:1, ls]
         better = t_tile < t_cur
@@ -722,21 +729,21 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
                 jnp.sum(pickf * nwy, axis=0, keepdims=True),
                 jnp.sum(pickf * nwz, axis=0, keepdims=True)], axis=0)
             mat = jax.lax.dot_general(
-                mat_ref[pl.ds(base, TORUS_CHUNK), :], pickf, _DN0,
+                mat_ref[pl.ds(base, chunk), :], pickf, _DN0,
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)   # (12, sub)
             new = jnp.concatenate([nrm, mat], axis=0)
             attr_cur = attr_out[:, ls]
             attr_out[:, ls] = jnp.where(better, new, attr_cur)
 
-    def chunk(v, _):
+    def visit_step(v, _):
         # packed visit entry: bits 0-15 = chunk id, bit 16+j = "span j has
         # a candidate ray" (exact per-ray gate, _chunk_visit_lists). Span
         # dispatch is pure scalar-core work — no tile-wide vector ops run
         # for spans whose bit is clear.
         e = visit_ref[0, 1 + v]
         c = e & 0xFFFF
-        base = pl.multiple_of(c * TORUS_CHUNK, 8)
+        base = pl.multiple_of(c * chunk, 8)
         for j in range(n_sub):
             ls = slice(j * sub, (j + 1) * sub)
 
@@ -748,13 +755,13 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
 
     if gated:
         # dead tiles already have cnt == 0 from the XLA gate
-        jax.lax.fori_loop(0, visit_ref[0, 0], chunk, 0)
+        jax.lax.fori_loop(0, visit_ref[0, 0], visit_step, 0)
     else:
         # ungated small scenes feed constant all-chunks visit rows: skip
         # dead tiles (tmax=0 bounce cull) with one whole-tile reduce
         @pl.when(jnp.any(tmax_ref[...] > TMIN))
         def _walk():
-            jax.lax.fori_loop(0, visit_ref[0, 0], chunk, 0)
+            jax.lax.fori_loop(0, visit_ref[0, 0], visit_step, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("torus_tile", "ray_tile",
@@ -764,12 +771,13 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
                              ray_tile: int = TORUS_RAY_TILE,
                              mat_table=None, occlusion: bool = False):
     """origins/dirs: (3, N) rows. torus_tile is accepted for API stability
-    but unused — culling granularity is fixed at TORUS_CHUNK chunks and
-    TORUS_SUB lane spans (see _chunk_visit_lists / _torus_kernel)."""
+    but unused — culling granularity is TORUS_CHUNK/GATED_TORUS_CHUNK
+    chunks and TORUS_SUB lane spans (_chunk_visit_lists / _torus_kernel)."""
     del torus_tile
     n = origins.shape[1]
     K = major.shape[0]
     gated = K > 64
+    chunk = GATED_TORUS_CHUNK if gated else TORUS_CHUNK
     if not gated and n % 2048 == 0:
         # small scenes: halve the grid steps (fixed per-step cost dominates
         # once the quartic table walk is short)
@@ -787,7 +795,7 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
         # ~6 ms whole kernel); spans = whole tile, one reduce-gate per
         # (tile, chunk) inside the kernel, dead tiles skip via any_live
         sub = ray_tile
-    Kp = ((K + TORUS_CHUNK - 1) // TORUS_CHUNK) * TORUS_CHUNK
+    Kp = ((K + chunk - 1) // chunk) * chunk
 
     oh, d4, tm = _rays_to_rows(origins, dirs, tmax)
 
@@ -835,9 +843,9 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     # 8-torus chunk AABBs + front-to-back visit ranks (by distance of each
     # chunk box from the batch's mean ray origin: near chunks set the
     # running best hit before far chunks are tested)
-    C = Kp // TORUS_CHUNK
-    clo = jnp.min(tor_lo.reshape(C, TORUS_CHUNK, 3), axis=1)
-    chi = jnp.max(tor_hi.reshape(C, TORUS_CHUNK, 3), axis=1)
+    C = Kp // chunk
+    clo = jnp.min(tor_lo.reshape(C, chunk, 3), axis=1)
+    chi = jnp.max(tor_hi.reshape(C, chunk, 3), axis=1)
     mean_o = jnp.mean(origins, axis=1)
     cdist = jnp.linalg.norm(
         jnp.maximum(jnp.maximum(clo - mean_o[None, :],
@@ -880,7 +888,7 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
         out_shape.append(jax.ShapeDtypeStruct((15, n), F32))
 
     out = pl.pallas_call(
-        functools.partial(_torus_kernel, sub=sub,
+        functools.partial(_torus_kernel, sub=sub, chunk=chunk,
                           emit_attrs=emit_attrs, occlusion=occlusion,
                           gated=gated),
         grid=(nt,),
