@@ -764,6 +764,60 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
             jax.lax.fori_loop(0, visit_ref[0, 0], visit_step, 0)
 
 
+def _torus_boxes(w2o_rows, rad, chunk):
+    """Per-torus world AABBs + `chunk`-torus chunk AABBs.
+
+    Tight world AABBs from the object-space torus box (R+r, r, R+r): the
+    o2w rotation is the adjugate inverse of w2o's rotation rows, the
+    world center solves o2w t = -inv(rot) @ t, and half-extents use the
+    |M| h trick. Much tighter than the center/bound sphere for flat or
+    tilted tori, and derived here so GeomSlice's ABI is unchanged.
+
+    Dead/padding rows (minor radius <= 0) are MASKED out of the chunk
+    reduction — reducing over their 2e38 point boxes would blow a mixed
+    alive+padding chunk (any K % chunk != 0 scene) up to a near-infinite
+    box that sorts near-first and passes the gate for nearly every span.
+    A fully-dead chunk keeps a far point box (an inverted lo>hi box would
+    conservatively PASS the per-axis-swapped slab test).
+
+    w2o_rows: (Kp, 12); rad: (Kp, 2) [major, minor]; Kp % chunk == 0.
+    Returns (tor_lo, tor_hi, chunk_lo, chunk_hi). Shared by the kernel
+    launcher and utils.roofline's post-cull work model (lockstep matters:
+    the model must count the same candidates the kernel visits).
+    """
+    r0 = w2o_rows[:, 0:3]
+    r1 = w2o_rows[:, 4:7]
+    r2 = w2o_rows[:, 8:11]
+    tv = jnp.stack([w2o_rows[:, 3], w2o_rows[:, 7], w2o_rows[:, 11]], axis=1)
+    c0 = jnp.cross(r1, r2)
+    c1 = jnp.cross(r2, r0)
+    c2 = jnp.cross(r0, r1)
+    det = jnp.sum(r0 * c0, axis=1, keepdims=True)
+    inv_det = jnp.where(jnp.abs(det) > F32(1e-30), F32(1.0), F32(0.0)) / \
+        jnp.where(jnp.abs(det) > F32(1e-30), det, F32(1.0))
+    o2w_rot = jnp.stack([c0, c1, c2], axis=2) * inv_det[:, :, None]  # (K,3,3)
+    wc = -jnp.einsum("kij,kj->ki", o2w_rot, tv, precision="highest")
+    rmin_abs = jnp.abs(rad[:, 1])
+    h_obj = jnp.stack([rad[:, 0] + rmin_abs, rmin_abs,
+                       rad[:, 0] + rmin_abs], axis=1)
+    h_w = jnp.einsum("kij,kj->ki", jnp.abs(o2w_rot), h_obj,
+                     precision="highest")
+    alive_k = (rad[:, 1] > 0.0)[:, None]
+    # padding rows get a far-away point box: coherent tiles cull it in the
+    # visit-list gate (an inverted box would conservatively pass)
+    tor_lo = jnp.where(alive_k, wc - h_w, F32(2.0e38)).astype(F32)
+    tor_hi = jnp.where(alive_k, wc + h_w, F32(2.0e38)).astype(F32)
+
+    Kp = w2o_rows.shape[0]
+    C = Kp // chunk
+    any_alive = jnp.any(alive_k.reshape(C, chunk), axis=1)[:, None]  # (C, 1)
+    clo = jnp.min(tor_lo.reshape(C, chunk, 3), axis=1)   # dead rows: +2e38
+    chi = jnp.max(jnp.where(alive_k, wc + h_w,
+                            F32(-2.0e38)).reshape(C, chunk, 3), axis=1)
+    chi = jnp.where(any_alive, chi, F32(2.0e38))
+    return tor_lo, tor_hi, clo, chi
+
+
 @functools.partial(jax.jit, static_argnames=("torus_tile", "ray_tile",
                                              "occlusion"))
 def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
@@ -812,40 +866,8 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
             [rad, jnp.tile(jnp.asarray([[0.0, -1.0]], F32), (pad, 1))],
             axis=0)
 
-    # tight world AABBs from the object-space torus box (R+r, r, R+r): the
-    # o2w rotation is the adjugate inverse of w2o's rotation rows, the
-    # world center solves o2w t = -inv(rot) @ t, and half-extents use the
-    # |M| h trick. Much tighter than the center/bound sphere for flat or
-    # tilted tori, and derived here so GeomSlice's ABI is unchanged.
-    r0 = w2o_rows[:, 0:3]
-    r1 = w2o_rows[:, 4:7]
-    r2 = w2o_rows[:, 8:11]
-    tv = jnp.stack([w2o_rows[:, 3], w2o_rows[:, 7], w2o_rows[:, 11]], axis=1)
-    c0 = jnp.cross(r1, r2)
-    c1 = jnp.cross(r2, r0)
-    c2 = jnp.cross(r0, r1)
-    det = jnp.sum(r0 * c0, axis=1, keepdims=True)
-    inv_det = jnp.where(jnp.abs(det) > F32(1e-30), F32(1.0), F32(0.0)) / \
-        jnp.where(jnp.abs(det) > F32(1e-30), det, F32(1.0))
-    o2w_rot = jnp.stack([c0, c1, c2], axis=2) * inv_det[:, :, None]  # (K,3,3)
-    wc = -jnp.einsum("kij,kj->ki", o2w_rot, tv, precision="highest")
-    rmin_abs = jnp.abs(rad[:, 1])
-    h_obj = jnp.stack([rad[:, 0] + rmin_abs, rmin_abs,
-                       rad[:, 0] + rmin_abs], axis=1)
-    h_w = jnp.einsum("kij,kj->ki", jnp.abs(o2w_rot), h_obj,
-                     precision="highest")
-    alive_k = (rad[:, 1] > 0.0)[:, None]
-    # padding rows get a far-away point box: coherent tiles cull it in the
-    # visit-list gate (an inverted box would conservatively pass)
-    tor_lo = jnp.where(alive_k, wc - h_w, F32(2.0e38)).astype(F32)
-    tor_hi = jnp.where(alive_k, wc + h_w, F32(2.0e38)).astype(F32)
-
-    # 8-torus chunk AABBs + front-to-back visit ranks (by distance of each
-    # chunk box from the batch's mean ray origin: near chunks set the
-    # running best hit before far chunks are tested)
+    tor_lo, tor_hi, clo, chi = _torus_boxes(w2o_rows, rad, chunk)
     C = Kp // chunk
-    clo = jnp.min(tor_lo.reshape(C, chunk, 3), axis=1)
-    chi = jnp.max(tor_hi.reshape(C, chunk, 3), axis=1)
     mean_o = jnp.mean(origins, axis=1)
     cdist = jnp.linalg.norm(
         jnp.maximum(jnp.maximum(clo - mean_o[None, :],

@@ -48,24 +48,41 @@ def init_distributed(coordinator_address: Optional[str] = None,
     (the standard `jax.distributed.initialize()` contract). No-op when the
     runtime is already initialized or when there is nothing to coordinate
     (single process and no explicit arguments).
+
+    Ordering matters: `jax.distributed.initialize()` must run BEFORE any
+    backend-initializing API. The "already initialized" probe therefore
+    reads `jax._src.distributed.global_state` (pure client-side state) —
+    calling e.g. `jax.process_count()` here would itself initialize the
+    local backend, making the subsequent initialize() raise, and every
+    host would silently fall back to a 1-process mesh.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # distributed runtime already up (launcher or earlier call)
     if (coordinator_address is None and num_processes is None
             and process_id is None):
-        # nothing to coordinate explicitly; only initialize when running
-        # under a recognized multi-process launcher environment
+        # nothing to coordinate explicitly; only initialize when the
+        # launcher environment describes an actual multi-process job (a
+        # single-host TPU VM also sets TPU_WORKER_HOSTNAMES=localhost)
         import os
 
-        if not any(v in os.environ for v in (
-                "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
-                "TPU_WORKER_HOSTNAMES")):
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        multi = (("COORDINATOR_ADDRESS" in os.environ)
+                 or ("MEGASCALE_COORDINATOR_ADDRESS" in os.environ)
+                 or len([h for h in hosts.split(",") if h]) > 1)
+        if not multi:
             return
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # only swallow the benign double-init; a real failure — including
+        # "must be called before any JAX computations" (a backend was
+        # initialized first) — must surface, not leave every host of a pod
+        # silently rendering as its own single-process mesh
+        if "already" not in str(e).lower():
+            raise
 
 
 def make_hybrid_mesh(n_prim_shards: int = 1,
@@ -101,10 +118,19 @@ def make_hybrid_mesh(n_prim_shards: int = 1,
 def host_band(height: int, width: int) -> tuple:
     """(row0, rows) of the frame band this host's "rays" shard covers under
     a host-major rays sharding of the flat pixel batch — the slice a host
-    should write when streaming dump files (io.dumps) per band."""
+    should write when streaming dump files (io.dumps) per band.
+
+    render_sharded splits the FLAT pixel batch into equal per-device
+    chunks, so the band is well-defined only when every host's chunk ends
+    on a row boundary; anything else would report a band that does not
+    match the pixels the host's shards actually own (and band-streamed
+    dumps would write the wrong slices), so it is rejected here."""
     p = jax.process_index()
     np_ = jax.process_count()
+    if height % np_ != 0:
+        raise ValueError(
+            f"host_band: height {height} must be divisible by the process "
+            f"count {np_} (the flat equal-chunk rays sharding must cut on "
+            f"row boundaries for per-host band dumps to be meaningful)")
     rows = height // np_
-    extra = height % np_
-    row0 = p * rows + min(p, extra)
-    return row0, rows + (1 if p < extra else 0)
+    return p * rows, rows

@@ -97,11 +97,14 @@ def _pad_triangles_for_mesh(scene: Scene, n_prim_shards: int) -> Scene:
                                np.zeros((3, 3, pad), F32)], axis=2),
     )
     pad_cl = pad // cs
-    FAR = F32(1e30)  # inverted (empty) boxes — culled for every ray
+    # far-away POINT boxes: every coherent ray tile culls them. (An
+    # inverted lo>hi box would conservatively PASS the slab test — the
+    # per-axis min/max swap turns it into an infinite interval.)
+    FAR = F32(1e30)
     cluster_lo = np.concatenate(
         [np.asarray(scene.cluster_lo), np.full((pad_cl, 3), FAR, F32)], axis=0)
     cluster_hi = np.concatenate(
-        [np.asarray(scene.cluster_hi), np.full((pad_cl, 3), -FAR, F32)], axis=0)
+        [np.asarray(scene.cluster_hi), np.full((pad_cl, 3), FAR, F32)], axis=0)
     return dataclasses.replace(scene, triangles=triangles,
                                cluster_lo=cluster_lo, cluster_hi=cluster_hi)
 

@@ -157,6 +157,10 @@ def refit_instance(scene: Scene, instance_id: int, old_transform,
             hi[~valid[rows]] = -FAR
             cluster_lo[ci] = lo.min(axis=0)
             cluster_hi[ci] = hi.max(axis=0)
+            if not valid[rows].any():
+                # all-invalid cluster: far POINT box (an inverted lo>hi box
+                # conservatively PASSES the per-axis-swapped slab test)
+                cluster_hi[ci] = cluster_lo[ci]
         new_tris = tris._replace(valid=valid, woop_o=woop_o, woop_d=woop_d,
                                  **arrs)
 
@@ -438,10 +442,14 @@ def build_scene(
     C = T // cluster_size
     tri_lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
     tri_hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
-    tri_lo[~valid] = FAR       # padded slots form an empty (inverted) box
+    tri_lo[~valid] = FAR       # padded slots drop out of the reductions
     tri_hi[~valid] = -FAR
     cluster_lo = tri_lo.reshape(C, cluster_size, 3).min(axis=1)
     cluster_hi = tri_hi.reshape(C, cluster_size, 3).max(axis=1)
+    # all-invalid clusters: far POINT boxes, not inverted ones (an inverted
+    # lo>hi box conservatively PASSES the per-axis-swapped slab test)
+    empty_cl = ~valid.reshape(C, cluster_size).any(axis=1)
+    cluster_hi[empty_cl] = cluster_lo[empty_cl]
 
     triangles = TriangleSoup(
         v0=v0, e1=e1, e2=e2, n0=n0, n1=n1, n2=n2,
