@@ -136,6 +136,76 @@ class TestExperiments:
         assert os.path.exists(tmp_path / "data" / "testptCloudImage_10.txt")
         assert rmse is not None  # gTruth found and compared
 
+    def test_obj_cli_pipeline(self, tmp_path):
+        """The reference's flagship workflow on an OBJ scene, through the
+        experiment CLIs themselves: --obj capture sweep -> --obj gTruth ->
+        reproject + RMSE compare (main.cpp:200-212 scene-list analog)."""
+        from PIL import Image
+
+        from toroidal_ray_tracing_tpu.experiments import (gtruth, reproject,
+                                                          rho_sweep)
+
+        # small textured ground quad: red/blue checker so texture sampling
+        # is visible in the dumps
+        tex = np.zeros((8, 8, 3), np.uint8)
+        tex[::2, ::2] = (255, 40, 40)
+        tex[1::2, 1::2] = (255, 40, 40)
+        tex[tex.sum(-1) == 0] = (40, 40, 255)
+        Image.fromarray(tex).save(tmp_path / "checker.png")
+        (tmp_path / "quad.mtl").write_text(
+            "newmtl texd\nKd 0.9 0.9 0.9\nillum 1\nmap_Kd checker.png\n")
+        (tmp_path / "quad.obj").write_text(
+            "mtllib quad.mtl\n"
+            "v -8 0 -8\nv 8 0 -8\nv 8 0 8\nv -8 0 8\n"
+            "vn 0 1 0\n"
+            "vt 0 0\nvt 4 0\nvt 4 4\nvt 0 4\n"
+            "usemtl texd\nf 1/1/1 2/2/1 3/3/1 4/4/1\n")
+        obj = str(tmp_path / "quad.obj")
+        out = str(tmp_path / "run")
+
+        rho_sweep.main(["--obj", obj, "--out", out,
+                        "--width", "24", "--height", "24",
+                        "--eye", "0", "2", "0", "--center", "10", "0", "0",
+                        "--max-depth", "1"])
+        assert os.path.exists(
+            os.path.join(out, "data", "renderedPosition4.000000.txt"))
+
+        gtruth.main(["--obj", obj, "--out", out, "--name", "objtest",
+                     "--width", "24", "--height", "24",
+                     "--eye", "6", "6", "6", "--center", "0", "0", "0",
+                     "--max-depth", "2"])
+        gt = dumps.read_points(
+            os.path.join(out, "data", "objtestgTruth.txt")).reshape(24, 24, 3)
+        # the checker must be visible in the ground truth: red-dominant and
+        # blue-dominant pixels both present (texture modulate, rchit:79-84)
+        assert ((gt[..., 0] > gt[..., 2] * 1.5) & (gt[..., 0] > 0.05)).any()
+        assert ((gt[..., 2] > gt[..., 0] * 1.5) & (gt[..., 2] > 0.05)).any()
+
+        cam_p = PinholeCamera(eye=(6.0, 6.0, 6.0), center=(0.0, 0.0, 0.0))
+        img, files, rmse = reproject.run_reproject(
+            out, 4.0, "objtest", cam_p, 24, 24, 24, 24, save_png=False)
+        assert rmse is not None and np.isfinite(rmse)
+        # the splatted capture approximates the pinhole ground truth: the
+        # clouds cover the same quad with the same shading model
+        assert rmse < 0.35, rmse
+
+    def test_obj_spec_parse(self):
+        from toroidal_ray_tracing_tpu.experiments.scene_args import (
+            parse_obj_spec)
+
+        p, xf = parse_obj_spec("a/b.obj")
+        assert p == "a/b.obj"
+        np.testing.assert_allclose(xf, np.eye(4))
+        p, xf = parse_obj_spec("m.obj@1,2,3")
+        np.testing.assert_allclose(xf[:3, 3], [1, 2, 3])
+        p, xf = parse_obj_spec("m.obj@1,2,3,2.0,90")
+        np.testing.assert_allclose(xf[:3, 3], [1, 2, 3])
+        # scale 2 and 90-degree y-rotation compose T @ R @ S
+        v = xf @ np.array([1.0, 0.0, 0.0, 1.0])
+        np.testing.assert_allclose(v[:3], [1, 2, 3 - 2.0], atol=1e-5)
+        with pytest.raises(ValueError):
+            parse_obj_spec("m.obj@1,2")
+
     def test_scenario_table(self):
         from toroidal_ray_tracing_tpu.experiments.configs import SCENARIOS
 

@@ -38,6 +38,44 @@ def test_raster_matches_ray_where_unshadowed():
     assert np.percentile(diff, 95) < 5e-3
 
 
+def test_raster_textured_matches_ray():
+    """Textured parity: the raster path must modulate diffuse by the
+    material texture (frag_shader.frag:86-91) with the same trilinear
+    footprint-LOD sampler as the ray tracer — pixel-identical on
+    unshadowed geometry."""
+    import dataclasses
+
+    base = procedural.plane(3.0, material=procedural.matte(
+        (0.9, 0.9, 0.9), illum=1, specular=(0, 0, 0)))
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[::2, ::2] = (1.0, 0.2, 0.2)
+    tex[1::2, 1::2] = (1.0, 0.2, 0.2)
+    tex[tex.sum(-1) == 0] = (0.2, 0.2, 1.0)
+    mats = [dict(base.materials[0], texture_id=0)]
+    mesh = dataclasses.replace(base, materials=mats, textures=[tex])
+    sd = procedural.SceneDef()
+    sd.add_model(mesh)
+    scene = build_scene(sd)
+    cam = PinholeCamera(eye=(4.0, 5.0, 4.5), center=(0.0, 0.0, 0.0))
+    st = RenderSettings.default(max_depth=1,
+                                light_position=(2.0, 9.0, 1.0),
+                                light_intensity=80.0)
+    ray = np.asarray(render(scene, cam, RES, RES, st)["image"])
+    ras = np.asarray(raster_render(scene, cam, RES, RES, st)["image"])
+
+    ray_hit = np.abs(ray - 0.8).max(axis=-1) > 1e-5
+    ras_hit = np.abs(ras - 1.0).max(axis=-1) > 1e-5
+    both = ray_hit & ras_hit
+    assert both.mean() > 0.1
+    # the checker must be visible in the raster view (red- and
+    # blue-dominant regions), not just the untextured 0.9-gray diffuse
+    r, b = ras[..., 0][both], ras[..., 2][both]
+    assert (r > b * 1.4).any() and (b > r * 1.4).any()
+    diff = np.abs(ray - ras).max(axis=-1)[both]
+    assert np.median(diff) < 1e-3
+    assert np.percentile(diff, 95) < 5e-3
+
+
 def test_raster_near_plane_clipping():
     """Interior camera: a big ground plane extends BEHIND the camera, so its
     triangles cross the near plane. The old path culled them (empty image);

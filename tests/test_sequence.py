@@ -37,6 +37,22 @@ def test_sequence_matches_per_frame(setup, backend):
     assert float(seq["rays_traced"]) == total
 
 
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_sequence_frame_batching(setup, backend):
+    """frames_per_batch traces several frames' rays as one wavefront; the
+    images and the ray count must match the unbatched scan exactly (only
+    the dispatch grouping differs — per-ray math is identical)."""
+    scene, st, cams = setup
+    one = render_sequence(scene, cams, RES, RES, st, backend=backend,
+                          frames_per_batch=1)
+    batched = render_sequence(scene, cams, RES, RES, st, backend=backend,
+                              frames_per_batch=3)
+    err = float(np.abs(np.asarray(one["images"])
+                       - np.asarray(batched["images"])).max())
+    assert err < 1e-6, err
+    assert float(one["rays_traced"]) == float(batched["rays_traced"])
+
+
 def test_sequence_no_images_counts_rays(setup):
     scene, st, cams = setup
     seq = render_sequence(scene, cams, RES, RES, st, keep_images=False)

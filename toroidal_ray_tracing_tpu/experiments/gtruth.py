@@ -15,7 +15,7 @@ import numpy as np
 from toroidal_ray_tracing_tpu.cameras import PinholeCamera
 from toroidal_ray_tracing_tpu.io import dumps
 from toroidal_ray_tracing_tpu.render import render, tonemap
-from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene, procedural
+from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene
 
 
 def run_gtruth(scene_def, out_dir: str, scene_name: str,
@@ -49,10 +49,11 @@ def _save_png(path: str, img) -> None:
 
 
 def main(argv=None):
+    from toroidal_ray_tracing_tpu.experiments.scene_args import (
+        add_scene_args, scene_def_from_args)
+
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--scene", default="cornellish",
-                    choices=["cornellish", "torus_plane", "multi_torus",
-                             "single_torus", "instanced_grid"])
+    add_scene_args(ap)  # --scene NAME | --obj PATH[@x,y,z[,s[,ry]]] ...
     ap.add_argument("--out", required=True)
     ap.add_argument("--name", default=None, help="scene tag in the filename")
     ap.add_argument("--width", type=int, default=1920)
@@ -63,13 +64,7 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=10)
     args = ap.parse_args(argv)
 
-    scene_def = {
-        "cornellish": procedural.scene_cornellish,
-        "torus_plane": procedural.scene_torus_plane,
-        "multi_torus": procedural.scene_multi_torus,
-        "single_torus": procedural.scene_single_torus,
-        "instanced_grid": procedural.scene_instanced_torus_grid,
-    }[args.scene]()
+    scene_def = scene_def_from_args(args)
     cam = PinholeCamera(eye=tuple(args.eye), center=tuple(args.center))
     st = RenderSettings.default(max_depth=args.max_depth)
     files = run_gtruth(scene_def, args.out, args.name or args.scene, cam,

@@ -44,7 +44,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=2 * 1024 * 1024)
     ap.add_argument("--k", type=int, default=8)
-    ap.add_argument("--scene", type=int, default=3, choices=[3, 4])
+    ap.add_argument("--scene", type=int, default=3, choices=[3, 4, 6])
     args = ap.parse_args(argv)
 
     from toroidal_ray_tracing_tpu.cameras import PinholeCamera
@@ -55,11 +55,12 @@ def main(argv=None):
     from toroidal_ray_tracing_tpu.trace.shade import shade
 
     n = args.rays
-    sd = (procedural.scene_multi_torus(True) if args.scene == 3
-          else procedural.scene_instanced_torus_grid(n=1024))
+    sd = {3: lambda: procedural.scene_multi_torus(True),
+          4: lambda: procedural.scene_instanced_torus_grid(n=1024),
+          6: lambda: procedural.scene_multi_torus(False)}[args.scene]()
     scene = jax.device_put(build_scene(sd))
-    eye = (8.0, 5.0, 8.0) if args.scene == 3 else (25.0, 18.0, 25.0)
-    ctr = (0.0, 0.5, 0.0) if args.scene == 3 else (0.0, 0.0, 0.0)
+    eye = (25.0, 18.0, 25.0) if args.scene == 4 else (8.0, 5.0, 8.0)
+    ctr = (0.0, 0.0, 0.0) if args.scene == 4 else (0.0, 0.5, 0.0)
     cam = PinholeCamera(eye=eye, center=ctr)
     st = RenderSettings.default(max_depth=3)
     n = (n // 2048) * 2048  # kernel ray-tile alignment
@@ -104,11 +105,40 @@ def main(argv=None):
         sh = shade(scene, st, o, dd, hit, backend="pallas")
         return jnp.sum(sh.hit_value[:8])
 
+    # occlusion (shadow-ray) passes: primary hit points toward the light —
+    # the EXACT query shade() issues, isolated (raytrace.rchit:89-120)
+    lpos = jnp.asarray(st.light.position, F32)[:, None]
+
+    def _shadow_rays(o, d):
+        hit = tk.closest_hit_pallas(scene, geom, o, d, tmax)
+        hp = o + jnp.minimum(hit.t, F32(1.0e8))[None, :] * d
+        ldir = lpos - hp
+        ldist = jnp.linalg.norm(ldir, axis=0)
+        L = ldir / jnp.maximum(ldist, F32(1e-20))[None, :]
+        stmax = jnp.where(hit.kind >= 0, ldist, F32(0.0))
+        return hp, L, stmax
+
+    def occl_pass(i, o, d, tmax):
+        dd = perturb(i, d)
+        hp, L, stmax = jax.lax.stop_gradient(_shadow_rays(o, dd))
+        hit = tk.closest_hit_pallas(scene, geom, hp, L, stmax,
+                                    occlusion=True)
+        return jnp.sum((hit.kind >= 0).astype(F32)[:8]) + jnp.sum(stmax[:8])
+
+    def occl_base(i, o, d, tmax):
+        # the shadow-ray *setup* alone (closest hit + ray build), so
+        # occl_pass - occl_base isolates the occlusion query itself
+        dd = perturb(i, d)
+        hp, L, stmax = _shadow_rays(o, dd)
+        return jnp.sum(hp[0, :8]) + jnp.sum(stmax[:8])
+
     rows = [
         ("tri kernel", timed_scan(tri_pass, k, o, d, tmax)),
         ("torus kernel", timed_scan(tor_pass, k, o, d, tmax)),
         ("hit (tri+torus+attrs)", timed_scan(full_hit, k, o, d, tmax)),
         ("hit + shade (incl shadow)", timed_scan(shade_pass, k, o, d, tmax)),
+        ("hit + shadow-ray setup", timed_scan(occl_base, k, o, d, tmax)),
+        ("hit + setup + occlusion", timed_scan(occl_pass, k, o, d, tmax)),
     ]
     print(f"# scene config {args.scene}, {n} rays, {k}-iter scans")
     for name, s in rows:

@@ -25,7 +25,7 @@ import numpy as np
 from toroidal_ray_tracing_tpu.cameras import ToroidalCamera
 from toroidal_ray_tracing_tpu.io import dumps
 from toroidal_ray_tracing_tpu.render import render
-from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene, procedural
+from toroidal_ray_tracing_tpu.scene import RenderSettings, build_scene
 from toroidal_ray_tracing_tpu.scene.build import refit_instance
 
 RHO_START = 4.0   # main.cpp:245
@@ -99,10 +99,11 @@ def run_sweep(
 
 
 def main(argv=None):
+    from toroidal_ray_tracing_tpu.experiments.scene_args import (
+        add_scene_args, scene_def_from_args)
+
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--scene", default="cornellish",
-                    choices=["cornellish", "torus_plane", "multi_torus",
-                             "single_torus", "instanced_grid"])
+    add_scene_args(ap)  # --scene NAME | --obj PATH[@x,y,z[,s[,ry]]] ...
     ap.add_argument("--out", required=True)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
@@ -114,13 +115,7 @@ def main(argv=None):
     ap.add_argument("--npz", action="store_true")
     args = ap.parse_args(argv)
 
-    scene_def = {
-        "cornellish": procedural.scene_cornellish,
-        "torus_plane": procedural.scene_torus_plane,
-        "multi_torus": procedural.scene_multi_torus,
-        "single_torus": procedural.scene_single_torus,
-        "instanced_grid": procedural.scene_instanced_torus_grid,
-    }[args.scene]()
+    scene_def = scene_def_from_args(args)
     cam = ToroidalCamera(eye=tuple(args.eye), center=tuple(args.center))
     st = RenderSettings.default(max_depth=args.max_depth)
     files = run_sweep(scene_def, args.out, cam, args.width, args.height, st,

@@ -215,6 +215,16 @@ def _raster_jit(scene: Scene, settings: RenderSettings, viewproj, width, height)
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
                             F32(1e-30))
     mat_id = tris.mat_id[orig]
+    # perspective-correct uv (vert_shader.vert:63 -> frag_shader.frag:86-91)
+    # + the uv texel density the mip-LOD heuristic needs (as in shade())
+    uv = (b0[:, None] * tris.uv0[orig] + b1[:, None] * tris.uv1[orig]
+          + b2[:, None] * tris.uv2[orig])
+    duv1 = tris.uv1[orig] - tris.uv0[orig]
+    duv2 = tris.uv2[orig] - tris.uv0[orig]
+    uv_area = jnp.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    world_area = jnp.linalg.norm(
+        jnp.cross(tris.e1[orig], tris.e2[orig]), axis=-1)
+    tex_density = jnp.sqrt(uv_area / jnp.maximum(world_area, F32(1e-30)))
 
     # frag_shader.frag:56-99 — computeDiffuse + computeSpecular, no shadows
     light = settings.light
@@ -239,7 +249,7 @@ def _raster_jit(scene: Scene, settings: RenderSettings, viewproj, width, height)
     # eye = inverse(viewproj) is not available here; pass via settings? the
     # fragment shader uses viewDir = worldPos - eye; we recover the eye from
     # the caller instead (threaded as the last viewproj row trick is fragile)
-    return hit, world_pos, nrm, mat_id, diffuse, lint, L, ndotl
+    return hit, world_pos, nrm, mat_id, diffuse, lint, L, ndotl, uv, tex_density
 
 
 def raster_render(scene: Scene, camera, width: int, height: int,
@@ -251,13 +261,32 @@ def raster_render(scene: Scene, camera, width: int, height: int,
     """
     if settings is None:
         settings = RenderSettings.default()
+    from toroidal_ray_tracing_tpu.render.renderer import autofill_pixel_spread
+    settings = autofill_pixel_spread(settings, camera, width, height)
     view, proj, _, _ = camera.matrices(width / height)
     viewproj = jnp.asarray((proj @ view).astype(F32))
-    hit, world_pos, nrm, mat_id, diffuse, lint, L, ndotl = _raster_jit(
-        scene, settings, viewproj, width, height)
+    (hit, world_pos, nrm, mat_id, diffuse, lint, L, ndotl, uv,
+     tex_density) = _raster_jit(scene, settings, viewproj, width, height)
 
     mats = scene.materials
     eye = jnp.asarray(np.asarray(camera.eye, F32))
+
+    # texture modulate (frag_shader.frag:86-91: diffuse *= texture(txt, uv));
+    # same trilinear footprint-LOD sampler as the ray path so the two views
+    # stay pixel-identical on unshadowed geometry
+    if scene.textures.data.shape[0] > 1:
+        from toroidal_ray_tracing_tpu.trace.shade import (_sample_texture,
+                                                          mip_lod)
+
+        tex_id = jnp.asarray(mats.texture_id)[mat_id]
+        tid = jnp.maximum(tex_id, 0)
+        dist = jnp.linalg.norm(world_pos - eye[None, :], axis=-1)
+        dim0 = jnp.maximum(scene.textures.sizes[tid, 0, 0],
+                           scene.textures.sizes[tid, 0, 1]).astype(F32)
+        lod = mip_lod(jnp, dist, jnp.asarray(settings.pixel_spread, F32),
+                      tex_density, dim0)
+        texel = _sample_texture(scene, tid, uv.T, lod).T       # (npx, 3)
+        diffuse = jnp.where((tex_id >= 0)[:, None], diffuse * texel, diffuse)
     V = eye[None, :] - world_pos
     V = V / jnp.maximum(jnp.linalg.norm(V, axis=-1, keepdims=True), F32(1e-30))
     kshine = jnp.maximum(jnp.asarray(mats.shininess)[mat_id], 4.0)

@@ -71,32 +71,81 @@ def tonemap(image):
 
 
 @functools.partial(jax.jit, static_argnames=("cam_cls", "width", "height",
-                                             "backend", "spp", "keep_images"))
+                                             "backend", "spp", "keep_images",
+                                             "group"))
 def _sequence_jit(scene, settings, param_stack, key, cam_cls, width, height,
-                  backend, spp, keep_images):
+                  backend, spp, keep_images, group=1):
+    n = width * height
+
     def frame(rays_total, inp):
         fidx, params = inp
-        acc = None
-        for s in range(max(spp, 1)):
-            sub = jax.random.fold_in(key, fidx * spp + s)
-            color, _, _, _, nr = _frame_jit.__wrapped__(
-                scene, settings, params, sub, cam_cls, width, height,
-                backend, s > 0)
-            acc = color if acc is None else acc + color
-            rays_total = rays_total + nr
-        img = (acc / F32(max(spp, 1))).reshape(height, width, 3)
-        # the probe is a full reduction so XLA cannot slice away per-pixel
-        # shading work when images aren't kept
-        return rays_total, (img if keep_images else jnp.mean(img))
+        if group == 1:
+            acc = None
+            for s in range(max(spp, 1)):
+                sub = jax.random.fold_in(key, fidx * spp + s)
+                color, _, _, _, nr = _frame_jit.__wrapped__(
+                    scene, settings, params, sub, cam_cls, width, height,
+                    backend, s > 0)
+                acc = color if acc is None else acc + color
+                rays_total = rays_total + nr
+            img = (acc / F32(max(spp, 1))).reshape(height, width, 3)
+            # the probe is a full reduction so XLA cannot slice away
+            # per-pixel shading work when images aren't kept
+            return rays_total, (img if keep_images else jnp.mean(img))
+
+        # frame batching: `group` frames' rays concatenate into ONE
+        # wavefront (frame id = lane block). A 256^2 frame is 72k rays —
+        # it underfills the kernels' 2048-ray tiles across the bounce
+        # loop's 3 dispatch stages; batching restores full tiles without
+        # changing any per-frame semantics (the scene is static across
+        # the sequence; only camera params vary per lane block).
+        from toroidal_ray_tracing_tpu.cameras.pinhole import (block_unswizzle,
+                                                              pick_block)
+
+        block = pick_block(width, height)
+        os, ds = [], []
+        for g in range(group):
+            p_g = jax.tree_util.tree_map(lambda x: x[g], params)
+            o, d = cam_cls.device_rays(p_g, width, height, settings,
+                                       xp=jnp, jitter=None, block=block,
+                                       rows=True)
+            os.append(o)
+            ds.append(d)
+        o = jnp.concatenate(os, axis=1)              # (3, group*n)
+        d = jnp.concatenate(ds, axis=1)
+        color, _, nr = trace_rays(scene, settings, o, d, backend=backend,
+                                  rows=True)
+        imgs = []
+        for g in range(group):
+            c = color[:, g * n:(g + 1) * n]
+            imgs.append(block_unswizzle(jnp, c.T, width, height,
+                                        block).reshape(height, width, 3))
+        img = jnp.stack(imgs)                        # (group, H, W, 3)
+        probe = img if keep_images else jnp.mean(img, axis=(1, 2, 3))
+        return rays_total + nr, probe
+
     n_frames = jax.tree_util.tree_leaves(param_stack)[0].shape[0]
+    if group > 1:
+        assert spp <= 1, "frame batching requires spp == 1"
+        assert n_frames % group == 0, (n_frames, group)
+        steps = n_frames // group
+        param_stack = jax.tree_util.tree_map(
+            lambda x: x.reshape((steps, group) + x.shape[1:]), param_stack)
+        fidx = jnp.arange(n_frames).reshape(steps, group)
+    else:
+        steps = n_frames
+        fidx = jnp.arange(n_frames)
     total, images = jax.lax.scan(
-        frame, jnp.float32(0), (jnp.arange(n_frames), param_stack))
+        frame, jnp.float32(0), (fidx, param_stack))
+    if group > 1:
+        images = images.reshape((n_frames,) + images.shape[2:])
     return total, images
 
 
 def render_sequence(scene, cameras, width, height, settings=None,
                     backend: str = "jnp", spp: int = 1, seed: int = 0,
-                    keep_images: bool = True):
+                    keep_images: bool = True,
+                    frames_per_batch: int | None = None):
     """Render an animated frame sequence inside ONE jit.
 
     The reference's experiment loop renders 60 frames per rho step with the
@@ -112,6 +161,11 @@ def render_sequence(scene, cameras, width, height, settings=None,
     keep_images: False returns only the ray counter (+ a (F,3) probe pixel
     per frame) — use for throughput measurement or when F x H x W x 3 would
     not fit HBM.
+    frames_per_batch: trace this many frames' rays as ONE wavefront batch
+    per scan step (None = auto: enough frames to fill ~2M-ray dispatches,
+    capped by divisibility into the frame count; 1 disables). Small frames
+    otherwise underfill the kernels' 2048-ray tiles — a 256^2 frame is
+    only 36 tiles across a 3-stage bounce loop.
 
     Returns {"images": (F, H, W, 3) linear color (if keep_images),
              "rays_traced": total float}.
@@ -121,12 +175,25 @@ def render_sequence(scene, cameras, width, height, settings=None,
     settings = autofill_pixel_spread(settings, cameras[0], width, height)
     scene = _as_device_scene(scene)
     cam_cls = type(cameras[0])
+    n_frames = len(cameras)
+    group = frames_per_batch
+    if group is None:
+        if spp > 1:
+            group = 1
+        else:
+            # fill ~2M-ray dispatches; group must divide the frame count
+            target = max(1, (2 * 1024 * 1024) // max(width * height, 1))
+            group = 1
+            for g in range(2, n_frames + 1):
+                if n_frames % g == 0 and g <= target:
+                    group = g
     params = [c.ray_params(width, height, settings) for c in cameras]
     stack = jax.tree_util.tree_map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params)
     total, images = _sequence_jit(scene, settings, stack,
                                   jax.random.PRNGKey(seed), cam_cls, width,
-                                  height, backend, spp, keep_images)
+                                  height, backend, spp, keep_images,
+                                  group=group)
     out = {"rays_traced": total}
     if keep_images:
         out["images"] = images
