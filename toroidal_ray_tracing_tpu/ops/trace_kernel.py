@@ -64,6 +64,14 @@ TORUS_TILE = 32        # unused; kept so callers passing torus_tile= keep
 
 _DN0 = (((0,), (0,)), ((), ()))  # contract dim 0 of both operands
 
+# Packed visit entry = block_id | span_bits << ID_BITS. 20-bit ids allow
+# 1,048,575 blocks (134M tris at cluster 128 / 16M tori at chunk 16) with
+# 11 span bits (ray_tile/sub <= 11; the launchers enforce it). The previous
+# 16-bit split capped scenes at 8M tris / 1M tori.
+ID_BITS = 20
+ID_MASK = (1 << ID_BITS) - 1
+MAX_SPANS = 31 - ID_BITS  # bit 31 is the i32 sign bit
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -93,10 +101,10 @@ def _pack_visit_rows(visit, cnt, nt, C):
 
 def _const_visit_rows(order, nt):
     """Constant all-chunks visit rows (front-to-back, single whole-tile
-    span: bit 16 set) for ungated dispatches — the in-kernel gates do all
-    the culling."""
+    span: bit ID_BITS set) for ungated dispatches — the in-kernel gates do
+    all the culling."""
     C = order.shape[0]
-    row = (order | jnp.int32(1 << 16))[None, :]
+    row = (order | jnp.int32(1 << ID_BITS))[None, :]
     visit = jnp.broadcast_to(row, (nt, C))
     cnt = jnp.full((nt, 1), C, jnp.int32)
     return visit, cnt
@@ -137,17 +145,24 @@ def _slab_cols(lo, hi, ox, oy, oz, ivx, ivy, ivz):
 TRI_SUB = 128          # rays per Woop sub-span in gated mode
 TRI_GATE_MIN = 8192    # tris: below this the XLA visit-list gate costs
                        # more than the short cluster walk it would prune
+TRI_MERGED = False     # single (8, 6C) x (8, sub) contraction instead of
+                       # six K=4 dots — measured NEUTRAL-to-slightly-slower
+                       # on v5e (the kernel is VPU-epilogue-bound, not
+                       # MXU-fill-bound); kept because the packed table's
+                       # 6*cluster lane stride is what a future
+                       # sub-128 cluster size would need
 
 
 def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
                 woop_o_ref, woop_d_ref, wrows_ref, *refs, cluster: int,
                 sub: int, emit_attrs: bool, occlusion: bool = False,
                 gated: bool = True, index_order: bool = False,
-                vpu_dots: bool = False, skip_box: bool = False):
+                vpu_dots: bool = False, skip_box: bool = False,
+                merged: bool = False):
     """One grid step = one ray tile, walking its cluster visit list.
 
     Structure mirrors _torus_kernel: visit_ref is the tile's packed SMEM
-    row [cnt, entries..., pad] with entry = cluster_id | span_bits << 16.
+    row [cnt, entries..., pad], entry = cluster_id | span_bits << ID_BITS.
     A dispatched (cluster, span) first re-runs the span-vs-cluster-AABB
     slab against the RUNNING best (clo/chi are SMEM scalar tables), then
     the Woop unit-triangle test as (4, C)x(4, sub) MXU contractions with a
@@ -208,7 +223,10 @@ def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
             # anything (there is nothing after this cluster), and its
             # slab + vector->scalar any() reduce cost MORE per tile than
             # just running the tiny Woop test; any_live already skips
-            # dead tiles
+            # dead tiles. (Skipping it in gated MULTI-cluster mode was
+            # measured WORSE: the running-best/occlusion `bound` in the
+            # slab prunes whole spans as front-to-back visits tighten
+            # t_cur, which the exact-at-gate-time visit bits can't see.)
             box_hit = None
         else:
             # span-vs-cluster slab against the running best (SMEM
@@ -235,7 +253,27 @@ def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
 
         def _run_woop():
             hp = jax.lax.Precision.HIGHEST
-            if vpu_dots:
+            if merged:
+                # ONE (6C, 8) x (8, sub) MXU contraction instead of six
+                # K=4 dots: the six products are pipeline-fill-latency
+                # bound (K=4 uses 3% of the systolic array), so merging
+                # them amortizes five fills; the zero-padded halves of the
+                # packed rows make origin rows contract only with oh and
+                # direction rows only with d. woop_o_ref here is the
+                # packed (6T, 8) table (cluster-major row groups).
+                base6 = pl.multiple_of(c * (6 * cluster), 128)
+                w6 = woop_o_ref[:, pl.ds(base6, 6 * cluster)]     # (8, 6C)
+                z = jnp.concatenate([oh, d], axis=0)              # (8, sub)
+                r6 = jax.lax.dot_general(
+                    w6, z, _DN0, precision=hp,
+                    preferred_element_type=jnp.float32)           # (6C, sub)
+                opx = r6[0 * cluster:1 * cluster]
+                opy = r6[1 * cluster:2 * cluster]
+                opz = r6[2 * cluster:3 * cluster]
+                dpx = r6[3 * cluster:4 * cluster]
+                dpy = r6[4 * cluster:5 * cluster]
+                dpz = r6[5 * cluster:6 * cluster]
+            elif vpu_dots:
                 # tiny clusters: six K=4 MXU matmuls are all pipeline-fill
                 # latency (~4 us/tile for an 8-triangle scene); broadcast
                 # MACs over (C, 1) column slices of the row-major table
@@ -280,21 +318,32 @@ def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
                 & (t >= TMIN) & (t <= tmax)
             t = jnp.where(hit, t, BIG)
 
+            t_tile = jnp.min(t, axis=0, keepdims=True)    # (1, sub)
+            if occlusion:
+                # any-hit: only "did something hit" matters — skip the
+                # argmin/one-hot selects (idx/u/v are undefined outputs)
+                t_out[0:1, ls] = jnp.minimum(t_tile, t_cur)
+                return
             # select-based argmin (no gathers on TPU): smallest row
             # achieving the column minimum, then one-hot select of u/v
-            t_tile = jnp.min(t, axis=0, keepdims=True)    # (1, sub)
             rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
             arg = jnp.min(jnp.where(t <= t_tile, rows, cluster), axis=0,
                           keepdims=True)
             pick = rows == arg
-            u_sel = jnp.sum(jnp.where(pick, u, 0.0), axis=0, keepdims=True)
-            v_sel = jnp.sum(jnp.where(pick, v, 0.0), axis=0, keepdims=True)
             better = t_tile < t_cur
             t_out[0:1, ls] = jnp.where(better, t_tile, t_cur)
             idx_out[0:1, ls] = jnp.where(better, base + arg,
                                          idx_out[0:1, ls])
-            u_out[0:1, ls] = jnp.where(better, u_sel, u_out[0:1, ls])
-            v_out[0:1, ls] = jnp.where(better, v_sel, v_out[0:1, ls])
+            if not emit_attrs:
+                # u/v feed shade()'s gather-based barycentric path only;
+                # with emit_attrs the interpolation happens below via the
+                # pick-mask matmuls and Hit.u/v go unread
+                u_sel = jnp.sum(jnp.where(pick, u, 0.0), axis=0,
+                                keepdims=True)
+                v_sel = jnp.sum(jnp.where(pick, v, 0.0), axis=0,
+                                keepdims=True)
+                u_out[0:1, ls] = jnp.where(better, u_sel, u_out[0:1, ls])
+                v_out[0:1, ls] = jnp.where(better, v_sel, v_out[0:1, ls])
 
             if emit_attrs:
                 # interpolated attributes of the winning triangle, selected
@@ -331,12 +380,12 @@ def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
             c = 0
             base = 0
         else:
-            c = e & 0xFFFF
+            c = e & ID_MASK
             base = pl.multiple_of(c * cluster, 128)
         for j in range(n_sub):
             ls = slice(j * sub, (j + 1) * sub)
 
-            @pl.when(((e >> (16 + j)) & 1) == 1)
+            @pl.when(((e >> (ID_BITS + j)) & 1) == 1)
             def _(c=c, base=base, ls=ls):
                 _woop(c, base, ls)
 
@@ -387,6 +436,24 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
     # pad woop_d input dim 3 -> 4 so both matmuls share the (4, R) operand
     wd4 = jnp.concatenate([woop_d, jnp.zeros((3, 1, T), woop_d.dtype)], axis=1)
 
+    merged = gated and T % cluster == 0 and TRI_MERGED
+    if merged:
+        # pack the six Woop row blocks cluster-major into ONE (8, 6T) table
+        # for the kernel's merged (8, 6C) x (8, sub) contraction: lane
+        # [c*6C + k*C + i] = component k of triangle c*C+i, with the
+        # origin components in sublanes 0-3 and direction components in
+        # 4-7 (each zero in the other half, so one [oh; d] operand serves
+        # both contractions). Sublanes-8 x lanes-6T keeps the table dense
+        # in VMEM (a (6T, 8) layout would lane-pad 16x and OOM scoped
+        # VMEM).
+        z34 = jnp.zeros((3, 4, T), F32)
+        w68 = jnp.concatenate([
+            jnp.concatenate([woop_o, z34], axis=1),
+            jnp.concatenate([z34, wd4], axis=1)], axis=0)   # (6, 8, T)
+        n_cl = T // cluster
+        w6pack = (w68.reshape(6, 8, n_cl, cluster)
+                  .transpose(1, 2, 0, 3).reshape(8, 6 * T))
+
     ray_spec = pl.BlockSpec((4, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, ray_tile), lambda i: (0, i),
@@ -436,8 +503,13 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
         wrows = jnp.zeros((8, 24), F32)  # placeholder (kernel ignores it)
     in_specs = [visit_spec, smem, smem, ray_spec, ray_spec, row_spec,
                 full, full, full]
-    operands = [packed, cluster_lo, cluster_hi, oh, d4, tm, woop_o, wd4,
-                wrows]
+    if merged:
+        # the packed table rides in the woop_o slot; woop_d is unused
+        operands = [packed, cluster_lo, cluster_hi, oh, d4, tm, w6pack,
+                    jnp.zeros((3, 1, 8), F32), wrows]
+    else:
+        operands = [packed, cluster_lo, cluster_hi, oh, d4, tm, woop_o,
+                    wd4, wrows]
     out_specs = [row_spec, row_spec, row_spec, row_spec]
     out_shape = [
         jax.ShapeDtypeStruct((1, n), F32),
@@ -456,7 +528,8 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
         functools.partial(_tri_kernel, cluster=cluster, sub=sub,
                           emit_attrs=emit_attrs, occlusion=occlusion,
                           gated=gated, index_order=index_order,
-                          vpu_dots=vpu_dots, skip_box=n_clusters == 1),
+                          vpu_dots=vpu_dots, skip_box=n_clusters == 1,
+                          merged=merged),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -497,7 +570,7 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     "any candidate" per `sub`-lane span. A tile's passing chunks are
     compacted front-to-back by ONE lax.sort_key_val over the key
     `rank + C * miss` (rank = the chunk's near-to-far position), carrying
-    packed entries `chunk_id | span_bits << 16` as values — the kernel
+    packed entries `chunk_id | span_bits << ID_BITS` as values — the kernel
     walks the first `cnt` entries via SMEM and runs the quartic only on
     spans whose bit is set. Dead tiles/spans (tmax=0 bounce cull) drop out
     here for free.
@@ -528,13 +601,15 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     S = n // sub
     nt = n // ray_tile
     n_sub = ray_tile // sub
-    assert n_sub <= 15, n_sub
-    assert C <= 0xFFFF, C  # ids share an i32 with the span bits
+    assert n_sub <= MAX_SPANS, n_sub
+    assert C <= ID_MASK, C  # ids share an i32 with the span bits
 
     inv = [_inv_dir(dirs[k]) for k in range(3)]      # 3 x (N,)
     tm = jnp.minimum(tmax, BIG)
 
-    B = 8  # chunks per block: bounds temporaries to (B, N)
+    B = 32  # chunks per block: bounds temporaries to (B, N); 32 re-reads
+            # the (3, N) ray rows 4x less often than 8 per box and
+            # measured fastest of {8, 16, 32, 64} on both ladder gates
     Cb = ((C + B - 1) // B) * B
     if Cb != C:
         pad = jnp.full((Cb - C, 3), F32(2.0e38))
@@ -565,7 +640,7 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     anym = jnp.any(spm, axis=1)                      # (nt, C)
     bits = jnp.zeros((nt, C), jnp.int32)
     for j in range(n_sub):
-        bits = bits | (spm[:, j, :].astype(jnp.int32) << (16 + j))
+        bits = bits | (spm[:, j, :].astype(jnp.int32) << (ID_BITS + j))
     entries = jnp.arange(C, dtype=jnp.int32)[None, :] | bits
     key = rank[None, :] + jnp.where(anym, 0, C).astype(jnp.int32)
     key = jnp.broadcast_to(key, (nt, C))
@@ -577,7 +652,7 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
 def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
                   rad_ref, lo_ref, hi_ref, *refs, sub: int, chunk: int,
                   emit_attrs: bool, occlusion: bool = False,
-                  gated: bool = True):
+                  gated: bool = True, span_gate: bool = True):
     """One grid step = one ray tile, which walks ONLY its pre-culled chunk
     visit list (front-to-back; see _chunk_visit_lists). A visit entry's
     span bits say which `sub`-lane spans have candidate rays, so dispatch
@@ -586,7 +661,7 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
     blocks some ray can touch.
 
     visit_ref: (1, Cp) i32 SMEM block — this tile's packed visit row,
-    laid out [cnt, entries..., pad] with entry = chunk_id | span_bits << 16
+    laid out [cnt, entries..., pad], entry = chunk_id | span_bits << ID_BITS
     (see _chunk_visit_lists's caller).
     Per-torus tables (w2o (Kp, 12), rad (Kp, 2), lo/hi (Kp, 3) world
     AABBs — 32 f32/torus, ~128 KB at 1k tori) stay fully VMEM-resident; a
@@ -633,6 +708,21 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
         oxs, oys, ozs = o_ref[0:1, ls], o_ref[1:2, ls], o_ref[2:3, ls]
         dxs, dys, dzs = d_ref[0:1, ls], d_ref[1:2, ls], d_ref[2:3, ls]
         tms = tmax_ref[0:1, ls]
+
+        if not span_gate:
+            # gated dispatch: the XLA visit bits are EXACT per span (some
+            # ray in the span has a candidate in this chunk), so an
+            # in-kernel slab refine almost never prunes — measured on the
+            # 1k-grid ladder scene, running-best pruning removes only ~1%
+            # of candidates (1.29 -> 1.28 dispatches/span) while the slab
+            # + vector->scalar reduce + branch cost as much as the
+            # quartic they would skip. Run the quartic unconditionally;
+            # the [TMIN, tmax] root range check keeps correctness.
+            cand = jnp.broadcast_to(tms > TMIN, (chunk, sub))
+            _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs,
+                          dys, dzs, tms)
+            return
+
         t_cur0 = t_out[0:1, ls]
         if occlusion:
             tlim = jnp.where(t_cur0 < BIG, F32(-1.0), tms)
@@ -645,11 +735,10 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
         cand = (tn <= jnp.minimum(tf, tlim)) & (tf >= TMIN) \
             & (tms > TMIN)                            # (Kc, sub)
 
-        # chunk-box gate bits are a superset (rays can cross the 8-torus
-        # union box between tori), and front-to-back visits make the
-        # running-best term in `cand` prune whole spans — this any() gate
-        # pays for itself many times over (one vector->scalar reduce +
-        # branch per dispatched span, vs a full (8, sub) quartic)
+        # ungated small-scene walk: the chunk-box gate and the running-
+        # best term in `cand` are the ONLY culling (constant all-chunks
+        # visit rows) — one vector->scalar reduce + branch per span pays
+        # for the full (8, sub) quartics it skips many times over
         @pl.when(jnp.any(cand))
         def _go():
             _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs,
@@ -697,10 +786,14 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
         t = jnp.where(troot < BIG, troot + tshift, BIG)
 
         t_tile = jnp.min(t, axis=0, keepdims=True)
+        t_cur = t_out[0:1, ls]
+        if occlusion:
+            # any-hit: existence only — skip the argmin/index select
+            t_out[0:1, ls] = jnp.minimum(t_tile, t_cur)
+            return
         rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
         arg = jnp.min(jnp.where(t <= t_tile, rows, chunk),
                       axis=0, keepdims=True)
-        t_cur = t_out[0:1, ls]
         better = t_tile < t_cur
         t_out[0:1, ls] = jnp.where(better, t_tile, t_cur)
         idx_out[0:1, ls] = jnp.where(better, base + arg, idx_out[0:1, ls])
@@ -737,17 +830,17 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
             attr_out[:, ls] = jnp.where(better, new, attr_cur)
 
     def visit_step(v, _):
-        # packed visit entry: bits 0-15 = chunk id, bit 16+j = "span j has
-        # a candidate ray" (exact per-ray gate, _chunk_visit_lists). Span
-        # dispatch is pure scalar-core work — no tile-wide vector ops run
-        # for spans whose bit is clear.
+        # packed visit entry: low ID_BITS = chunk id, bit ID_BITS+j =
+        # "span j has a candidate ray" (exact per-ray gate,
+        # _chunk_visit_lists). Span dispatch is pure scalar-core work — no
+        # tile-wide vector ops run for spans whose bit is clear.
         e = visit_ref[0, 1 + v]
-        c = e & 0xFFFF
+        c = e & ID_MASK
         base = pl.multiple_of(c * chunk, 8)
         for j in range(n_sub):
             ls = slice(j * sub, (j + 1) * sub)
 
-            @pl.when(((e >> (16 + j)) & 1) == 1)
+            @pl.when(((e >> (ID_BITS + j)) & 1) == 1)
             def _(base=base, ls=ls):
                 _quartic(base, ls)
 
@@ -841,7 +934,7 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     assert n % ray_tile == 0, (n, ray_tile)
     if gated:
         sub = TORUS_SUB if ray_tile % TORUS_SUB == 0 else ray_tile
-        while ray_tile // sub > 15:  # span bits live in bits 16-30 of an i32
+        while ray_tile // sub > MAX_SPANS:  # span bits sit above ID_BITS
             sub *= 2
     else:
         # ungated: the XLA gate costs more than a short chunk walk saves
@@ -912,7 +1005,7 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     out = pl.pallas_call(
         functools.partial(_torus_kernel, sub=sub, chunk=chunk,
                           emit_attrs=emit_attrs, occlusion=occlusion,
-                          gated=gated),
+                          gated=gated, span_gate=not gated),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=out_specs,
