@@ -142,3 +142,66 @@ def test_unaligned_cluster_size_rounds_up():
     a = render(build_scene(sd), cam, RES, RES, st, backend="pallas")["image"]
     b = render(scene64, cam, RES, RES, st, backend="pallas")["image"]
     assert rmse(a, b) < 1e-5
+
+
+def test_streamed_tri_kernel_matches_resident():
+    """The HBM-streamed superblock kernel (tri_closest_hit_stream — the
+    >TRI_STREAM_MIN huge-mesh path, double-buffered DMA) must reproduce the
+    resident kernel's hits exactly, with and without attr emission."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+
+    scene = build_scene(procedural.scene_multi_torus(False))  # 23k-tri mesh
+    geom = isect.geom_from_scene(scene)
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    o, d = cam.generate_rays(64, 32, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+    tables = tk._tri_attr_tables(scene, geom)
+
+    for attr in (None, tables):
+        ref = tk.tri_closest_hit_pallas(
+            o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+            geom.cluster_hi, scene.cluster_size, attr_tables=attr)
+        out = tk.tri_closest_hit_stream(
+            o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+            geom.cluster_hi, scene.cluster_size, attr_tables=attr)
+        # t and idx are exact; u/v are epilogue-skipped under attrs
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+        if attr is not None:
+            np.testing.assert_allclose(np.asarray(ref[4]),
+                                       np.asarray(out[4]), rtol=1e-6)
+        else:
+            np.testing.assert_array_equal(np.asarray(ref[2]),
+                                          np.asarray(out[2]))
+            np.testing.assert_array_equal(np.asarray(ref[3]),
+                                          np.asarray(out[3]))
+
+
+def test_streamed_occlusion_matches_resident():
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+    import jax.numpy as jnp
+
+    scene = build_scene(procedural.scene_multi_torus(False))
+    geom = isect.geom_from_scene(scene)
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    o, d = cam.generate_rays(64, 32, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+    ref = tk.tri_closest_hit_pallas(
+        o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+        geom.cluster_hi, scene.cluster_size, occlusion=True)
+    out = tk.tri_closest_hit_stream(
+        o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+        geom.cluster_hi, scene.cluster_size, occlusion=True)
+    # any-hit: only hit existence is defined
+    np.testing.assert_array_equal(np.asarray(ref[0]) < 1e30,
+                                  np.asarray(out[0]) < 1e30)

@@ -77,3 +77,103 @@ def test_gated_tri_kernel_mosaic_parity(renderers):
     n_bad = int((err > 1e-3).sum())
     assert n_bad <= max(8, err.size // 1000), (
         f"{n_bad} pixels diverged (expected only isolated edge flips)")
+
+
+@needs_tpu
+def test_gated_torus_kernel_mosaic_parity(renderers):
+    """Gated torus path (K > 64: exact chunk visit lists + span bits +
+    span_gate-free quartic dispatch) on the instanced grid — config 4's
+    kernel lowering, including the any-hit occlusion kernel behind its
+    shadow rays."""
+    import toroidal_ray_tracing_tpu as trt
+    from toroidal_ray_tracing_tpu.scene import build_scene, procedural
+
+    scene = build_scene(procedural.scene_instanced_torus_grid(n=256))
+    cam = trt.PinholeCamera(eye=(14.0, 9.0, 14.0), center=(0.0, 0.0, 0.0))
+    st = trt.RenderSettings.default(max_depth=2)
+    a = np.asarray(trt.render(scene, cam, RES, RES, st,
+                              backend="jnp")["image"])
+    b = np.asarray(trt.render(scene, cam, RES, RES, st,
+                              backend="pallas")["image"])
+    err = np.abs(a - b).max(axis=-1)
+    n_bad = int((err > 1e-3).sum())
+    assert n_bad <= max(8, err.size // 1000), (
+        f"{n_bad} pixels diverged (expected only isolated tangency flips)")
+
+
+@needs_tpu
+def test_occlusion_kernels_mosaic_parity():
+    """Any-hit (occlusion) Mosaic lowering, checked directly: the shadow
+    query's boolean mask must match the jnp reference on both primitive
+    kinds (torus grid chunks + mesh clusters)."""
+    import jax.numpy as jnp
+    import toroidal_ray_tracing_tpu as trt
+    from toroidal_ray_tracing_tpu.cameras import generate_rays
+    from toroidal_ray_tracing_tpu.scene import build_scene, procedural
+    from toroidal_ray_tracing_tpu.trace.intersect import any_hit
+
+    st = trt.RenderSettings.default(max_depth=1)
+    cam = trt.PinholeCamera(eye=(10.0, 7.0, 10.0), center=(0.0, 0.0, 0.0))
+    o_h, d_h = generate_rays(cam, 64, 32, st, xp=np)
+    o, d = jnp.asarray(o_h.T), jnp.asarray(d_h.T)
+    tmax = jnp.full((o.shape[1],), np.float32(50.0))
+    for sd in (procedural.scene_instanced_torus_grid(n=256),
+               procedural.scene_multi_torus(analytic=False)):
+        scene = build_scene(sd)
+        a = np.asarray(any_hit(scene, o, d, tmax, backend="jnp"))
+        b = np.asarray(any_hit(scene, o, d, tmax, backend="pallas"))
+        assert (a == b).mean() > 0.999, f"occlusion diverged: {(a != b).sum()}"
+
+
+@needs_tpu
+def test_streamed_tri_kernel_mosaic_parity():
+    """HBM-streamed superblock kernel (double-buffered DMA, >TRI_STREAM_MIN
+    meshes) vs the resident gated kernel on real hardware."""
+    import jax.numpy as jnp
+    from toroidal_ray_tracing_tpu.cameras import generate_rays
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.scene import build_scene, procedural
+    from toroidal_ray_tracing_tpu.scene.types import SceneDef
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+    import toroidal_ray_tracing_tpu as trt
+
+    sdef = SceneDef()
+    sdef.add_model(procedural.torus_mesh(2.0, 0.6, seg_major=64,
+                                         seg_minor=32))
+    scene = build_scene(sdef)
+    geom = isect.geom_from_scene(scene)
+    cam = trt.PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = trt.RenderSettings.default(max_depth=1)
+    o_h, d_h = generate_rays(cam, 64, 32, st, xp=np)
+    o, d = jnp.asarray(o_h.T), jnp.asarray(d_h.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+    ref = tk.tri_closest_hit_pallas(
+        o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+        geom.cluster_hi, scene.cluster_size)
+    out = tk.tri_closest_hit_stream(
+        o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+        geom.cluster_hi, scene.cluster_size)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+
+
+@needs_tpu
+def test_compaction_buckets_mosaic_parity():
+    """Live-ray span compaction (wavefront COMPACT_FACTOR buckets) on real
+    hardware: a 384x384 3-bounce render crosses the compaction threshold,
+    so bounce 3 runs in the n/8 prefix bucket; result must match jnp."""
+    import toroidal_ray_tracing_tpu as trt
+    from toroidal_ray_tracing_tpu.scene import build_scene, procedural
+
+    scene = build_scene(procedural.scene_multi_torus(analytic=True))
+    cam = trt.PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = trt.RenderSettings.default(max_depth=3)
+    a = np.asarray(trt.render(scene, cam, 384, 384, st,
+                              backend="jnp")["image"])
+    b = np.asarray(trt.render(scene, cam, 384, 384, st,
+                              backend="pallas")["image"])
+    err = np.abs(a - b).max(axis=-1)
+    n_bad = int((err > 1e-3).sum())
+    assert n_bad <= max(8, err.size // 1000), (
+        f"{n_bad} pixels diverged (expected only isolated tangency flips)")

@@ -64,13 +64,14 @@ TORUS_TILE = 32        # unused; kept so callers passing torus_tile= keep
 
 _DN0 = (((0,), (0,)), ((), ()))  # contract dim 0 of both operands
 
-# Packed visit entry = block_id | span_bits << ID_BITS. 20-bit ids allow
-# 1,048,575 blocks (134M tris at cluster 128 / 16M tori at chunk 16) with
-# 11 span bits (ray_tile/sub <= 11; the launchers enforce it). The previous
-# 16-bit split capped scenes at 8M tris / 1M tori.
-ID_BITS = 20
-ID_MASK = (1 << ID_BITS) - 1
-MAX_SPANS = 31 - ID_BITS  # bit 31 is the i32 sign bit
+# A visit entry is a PAIR of i32 SMEM words: [block_id, span_bits]. Split
+# words (vs the earlier id | bits << 16 packing) remove both scale caps:
+# ids span a full 31 bits (2^31 blocks — no triangle/torus count ceiling
+# from the visit ABI) and up to 32 span bits fit, so 4096-lane ray tiles
+# keep exact 128-lane span dispatch. The extra SMEM word per entry is free
+# (the walk's scalar reads measured ~0 vs the ~2 us/grid-step floor the
+# bigger tiles amortize).
+MAX_SPANS = 32
 
 
 def _interpret() -> bool:
@@ -87,13 +88,15 @@ def _rays_to_rows(origins, dirs, tmax):
     return oh, d4, tmax.reshape(1, n)
 
 
-def _pack_visit_rows(visit, cnt, nt, C):
-    """Pack per-tile visit rows [cnt, entries..., pad] into the flat
-    (1, nt*Cp) layout Mosaic SMEM blocks require (2D, sublane dim equal to
-    the array's, lane dim 128-aligned), blocked (1, Cp) per grid step."""
-    Cp = ((C + 1 + 127) // 128) * 128
+def _pack_visit_rows(ids, bits, cnt, nt, C):
+    """Interleave per-tile visit rows [cnt, id0, bits0, id1, bits1, ...,
+    pad] into the flat (1, nt*Cp) layout Mosaic SMEM blocks require (2D,
+    sublane dim equal to the array's, lane dim 128-aligned), blocked
+    (1, Cp) per grid step."""
+    Cp = ((2 * C + 1 + 127) // 128) * 128
+    inter = jnp.stack([ids, bits], axis=2).reshape(nt, 2 * C)
     packed = jnp.concatenate(
-        [cnt, visit, jnp.zeros((nt, Cp - 1 - C), jnp.int32)], axis=1)
+        [cnt, inter, jnp.zeros((nt, Cp - 1 - 2 * C), jnp.int32)], axis=1)
     spec = pl.BlockSpec((1, Cp), lambda i: (0, i),
                         memory_space=pltpu.SMEM)
     return packed.reshape(1, nt * Cp), spec
@@ -101,13 +104,13 @@ def _pack_visit_rows(visit, cnt, nt, C):
 
 def _const_visit_rows(order, nt):
     """Constant all-chunks visit rows (front-to-back, single whole-tile
-    span: bit ID_BITS set) for ungated dispatches — the in-kernel gates do
-    all the culling."""
+    span: bit 0 set) for ungated dispatches — the in-kernel gates do all
+    the culling."""
     C = order.shape[0]
-    row = (order | jnp.int32(1 << ID_BITS))[None, :]
-    visit = jnp.broadcast_to(row, (nt, C))
+    ids = jnp.broadcast_to(order[None, :], (nt, C))
+    bits = jnp.ones((nt, C), jnp.int32)
     cnt = jnp.full((nt, 1), C, jnp.int32)
-    return visit, cnt
+    return ids, bits, cnt
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +146,7 @@ def _slab_cols(lo, hi, ox, oy, oz, ivx, ivy, ivz):
 
 
 TRI_SUB = 128          # rays per Woop sub-span in gated mode
+TRI_RAY_TILE_GATED = 1024  # rays per grid step in gated mode
 TRI_GATE_MIN = 8192    # tris: below this the XLA visit-list gate costs
                        # more than the short cluster walk it would prune
 TRI_MERGED = False     # single (8, 6C) x (8, sub) contraction instead of
@@ -162,7 +166,8 @@ def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
     """One grid step = one ray tile, walking its cluster visit list.
 
     Structure mirrors _torus_kernel: visit_ref is the tile's packed SMEM
-    row [cnt, entries..., pad], entry = cluster_id | span_bits << ID_BITS.
+    row [cnt, id0, bits0, id1, bits1, ...] of (cluster_id, span_bits)
+    entry pairs.
     A dispatched (cluster, span) first re-runs the span-vs-cluster-AABB
     slab against the RUNNING best (clo/chi are SMEM scalar tables), then
     the Woop unit-triangle test as (4, C)x(4, sub) MXU contractions with a
@@ -373,19 +378,19 @@ def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
             pl.when(jnp.any(box_hit))(_run_woop)
 
     def body(v, _):
-        e = visit_ref[0, 1 + v]
+        bits = visit_ref[0, 2 + 2 * v]
         if index_order:
             # single cluster (scene/build adapts cluster_size so multi-
             # cluster tables are always 128-aligned): static offsets
             c = 0
             base = 0
         else:
-            c = e & ID_MASK
+            c = visit_ref[0, 1 + 2 * v]
             base = pl.multiple_of(c * cluster, 128)
         for j in range(n_sub):
             ls = slice(j * sub, (j + 1) * sub)
 
-            @pl.when(((e >> (ID_BITS + j)) & 1) == 1)
+            @pl.when(((bits >> j) & 1) == 1)
             def _(c=c, base=base, ls=ls):
                 _woop(c, base, ls)
 
@@ -421,9 +426,10 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
 
     gated = T > TRI_GATE_MIN and cluster % 128 == 0 and n % 1024 == 0
     if gated:
-        # finer tiles = tighter span frusta; a 23k-tri mesh averages 1.4
-        # clusters per 128-ray span vs 7.8 per 2048-ray tile
-        ray_tile = min(ray_tile, 1024)
+        # span width (TRI_SUB), not tile width, sets the culling frustum
+        # granularity now that visit entries carry split span-bit words;
+        # tile 1024 still measured best (sub-tile VMEM working set)
+        ray_tile = min(ray_tile, TRI_RAY_TILE_GATED)
         sub = TRI_SUB
     else:
         if n < ray_tile:
@@ -473,10 +479,10 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
     index_order = False
     if gated:
         rank = jnp.argsort(jnp.argsort(cdist)).astype(jnp.int32)
-        visit, cnt = _chunk_visit_lists(origins, dirs, tmax, clo, chi,
-                                        rank, ray_tile, sub)
+        vids, vbits, cnt = _chunk_visit_lists(origins, dirs, tmax, clo,
+                                              chi, rank, ray_tile, sub)
     elif n_clusters > 1 and cluster % 128 == 0:
-        visit, cnt = _const_visit_rows(
+        vids, vbits, cnt = _const_visit_rows(
             jnp.argsort(cdist).astype(jnp.int32), nt)
     else:
         # a single (possibly unaligned) cluster: a dynamic SMEM-loaded id
@@ -486,9 +492,10 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
         # the whole soup)
         assert n_clusters == 1, (n_clusters, cluster)
         index_order = True
-        visit, cnt = _const_visit_rows(
+        vids, vbits, cnt = _const_visit_rows(
             jnp.arange(n_clusters, dtype=jnp.int32), nt)
-    packed, visit_spec = _pack_visit_rows(visit, cnt, nt, n_clusters)
+    packed, visit_spec = _pack_visit_rows(vids, vbits, cnt, nt,
+                                          n_clusters)
 
     # row-major table for the tiny-cluster VPU dot path (cols 0-11:
     # woop_o[k][i] at k*4+i; 12-23: padded woop_d). Only materialized when
@@ -542,6 +549,304 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
 
 
 # ---------------------------------------------------------------------------
+# Streamed (HBM-resident) triangle kernel — meshes past the VMEM ceiling
+# ---------------------------------------------------------------------------
+
+TRI_STREAM_MIN = 65536   # tris: above this the resident kernel's VMEM
+                         # tables (~244 B/tri with attrs) blow the ~16 MB
+                         # scoped-VMEM budget; Woop/attr tables then stay
+                         # in HBM and superblocks stream through a double-
+                         # buffered VMEM scratch (the BLAS analog for
+                         # driver-managed huge meshes, SURVEY.md §2B)
+STREAM_GATE_BOXES = 512  # superblock-count target for the XLA gate: keeps
+                         # the O(boxes x rays) exact gate at ~2.8x the
+                         # 23k-tri ladder mesh's measured 4.7 ms/2M rays
+STREAM_MAX_SB = 4096     # tris per superblock cap (DMA block ~1 MB: 2x
+                         # (24+37, SB) f32 double-buffered scratch)
+
+
+def _tri_stream_kernel(visit_ref, slo_ref, shi_ref, o_ref, d_ref, tmax_ref,
+                       w24_ref, *refs, sb_tris: int, sub: int,
+                       emit_attrs: bool, occlusion: bool):
+    """One grid step = one ray tile, walking its SUPERBLOCK visit list with
+    double-buffered HBM->VMEM DMA of each visited superblock's packed Woop
+    (24, sb_tris) and attr (37, sb_tris) tables. Structure otherwise
+    mirrors _tri_kernel with cluster := sb_tris: the visit bits are exact
+    per 128-lane span (gate over superblock AABBs), a dispatched
+    (superblock, span) re-runs the slab against the running best from SMEM
+    boxes, then one Woop pass over the whole streamed block.
+
+    The DMA for visit entry v+1 is issued before entry v is processed, so
+    at ~1.5 us of HBM traffic per block the copies hide behind the
+    multi-us Woop pass of the previous block."""
+    if emit_attrs:
+        (a37_ref, t_out, idx_out, u_out, v_out, attr_out,
+         wbuf, abuf, sems) = refs
+    else:
+        t_out, idx_out, u_out, v_out, wbuf, sems = refs
+        a37_ref = abuf = None
+    R = o_ref.shape[1]
+    n_sub = R // sub
+
+    t_out[...] = jnp.full((1, R), BIG, F32)
+    idx_out[...] = jnp.zeros((1, R), jnp.int32)
+    u_out[...] = jnp.zeros((1, R), F32)
+    v_out[...] = jnp.zeros((1, R), F32)
+    if emit_attrs:
+        attr_out[...] = jnp.zeros((21, R), F32)
+
+    cnt = visit_ref[0, 0]
+
+    def _copy(v, slot):
+        c = visit_ref[0, 1 + 2 * v]
+        off = pl.multiple_of(c * sb_tris, 128)
+        pltpu.make_async_copy(
+            w24_ref.at[:, pl.ds(off, sb_tris)], wbuf.at[slot],
+            sems.at[slot, 0]).start()
+        if emit_attrs:
+            pltpu.make_async_copy(
+                a37_ref.at[:, pl.ds(off, sb_tris)], abuf.at[slot],
+                sems.at[slot, 1]).start()
+
+    def _wait(slot):
+        pltpu.make_async_copy(
+            w24_ref.at[:, pl.ds(0, sb_tris)], wbuf.at[slot],
+            sems.at[slot, 0]).wait()
+        if emit_attrs:
+            pltpu.make_async_copy(
+                a37_ref.at[:, pl.ds(0, sb_tris)], abuf.at[slot],
+                sems.at[slot, 1]).wait()
+
+    def _span(c, slot, ls):
+        oh = o_ref[:, ls]                 # (4, sub)
+        d = d_ref[:, ls]
+        tmax = tmax_ref[0:1, ls]
+        t_cur = t_out[0:1, ls]
+        if occlusion:
+            bound = jnp.where(t_cur < BIG, F32(-1.0), tmax)
+        else:
+            bound = jnp.minimum(t_cur, tmax)
+
+        # span-vs-superblock slab against the running best (SMEM boxes)
+        ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]
+        invx = _inv_dir(d[0:1])
+        invy = _inv_dir(d[1:2])
+        invz = _inv_dir(d[2:3])
+        t0x = (slo_ref[c, 0] - ox) * invx
+        t1x = (shi_ref[c, 0] - ox) * invx
+        t0y = (slo_ref[c, 1] - oy) * invy
+        t1y = (shi_ref[c, 1] - oy) * invy
+        t0z = (slo_ref[c, 2] - oz) * invz
+        t1z = (shi_ref[c, 2] - oz) * invz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        box_hit = (tn <= jnp.minimum(tf, bound)) \
+            & (tf >= TMIN) & (tmax > TMIN)        # (1, sub)
+
+        def _run_woop():
+            hp = jax.lax.Precision.HIGHEST
+
+            def dot0(r0, b):  # (4, SB) x (4, sub) -> (SB, sub)
+                return jax.lax.dot_general(
+                    wbuf[slot, r0:r0 + 4, :], b, _DN0, precision=hp,
+                    preferred_element_type=jnp.float32)
+
+            opx = dot0(0, oh)
+            opy = dot0(4, oh)
+            opz = dot0(8, oh)
+            dpx = dot0(12, d)
+            dpy = dot0(16, d)
+            dpz = dot0(20, d)
+
+            dz_ok = jnp.abs(dpz) > F32(1e-12)
+            inv_dz = jnp.where(dz_ok, F32(1.0), F32(0.0)) / \
+                jnp.where(dz_ok, dpz, F32(1.0))
+            t = -opz * inv_dz
+            u = opx + t * dpx
+            v = opy + t * dpy
+            hit = dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+                & (t >= TMIN) & (t <= tmax)
+            t = jnp.where(hit, t, BIG)
+
+            t_tile = jnp.min(t, axis=0, keepdims=True)    # (1, sub)
+            if occlusion:
+                t_out[0:1, ls] = jnp.minimum(t_tile, t_cur)
+                return
+            rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+            arg = jnp.min(jnp.where(t <= t_tile, rows, sb_tris), axis=0,
+                          keepdims=True)
+            pick = rows == arg
+            better = t_tile < t_cur
+            t_out[0:1, ls] = jnp.where(better, t_tile, t_cur)
+            idx_out[0:1, ls] = jnp.where(better, c * sb_tris + arg,
+                                         idx_out[0:1, ls])
+            if not emit_attrs:
+                u_sel = jnp.sum(jnp.where(pick, u, 0.0), axis=0,
+                                keepdims=True)
+                v_sel = jnp.sum(jnp.where(pick, v, 0.0), axis=0,
+                                keepdims=True)
+                u_out[0:1, ls] = jnp.where(better, u_sel, u_out[0:1, ls])
+                v_out[0:1, ls] = jnp.where(better, v_sel, v_out[0:1, ls])
+
+            if emit_attrs:
+                pickf = pick.astype(jnp.float32)
+                a0 = abuf[slot, 0:21, :]                  # (21, SB)
+                a1 = abuf[slot, 21:29, :]                 # (8, SB)
+                a2 = abuf[slot, 29:37, :]                 # (8, SB)
+                n0 = jnp.dot(a0, pickf, precision=hp,
+                             preferred_element_type=jnp.float32)
+                n1 = jnp.dot(a1, pickf * jnp.where(pick, u, 0.0),
+                             precision=hp,
+                             preferred_element_type=jnp.float32)
+                n2 = jnp.dot(a2, pickf * jnp.where(pick, v, 0.0),
+                             precision=hp,
+                             preferred_element_type=jnp.float32)
+                new = jnp.concatenate([n0[0:8] + n1 + n2, n0[8:21]], axis=0)
+                attr_cur = attr_out[:, ls]
+                attr_out[:, ls] = jnp.where(better, new, attr_cur)
+
+        pl.when(jnp.any(box_hit))(_run_woop)
+
+    @pl.when(cnt > 0)
+    def _prologue():
+        _copy(0, 0)
+
+    def body(v, _):
+        slot = jax.lax.rem(v, 2)
+
+        @pl.when(v + 1 < cnt)
+        def _prefetch():
+            _copy(v + 1, jax.lax.rem(v + 1, 2))
+
+        _wait(slot)
+        c = visit_ref[0, 1 + 2 * v]
+        bits = visit_ref[0, 2 + 2 * v]
+        for j in range(n_sub):
+            ls = slice(j * sub, (j + 1) * sub)
+
+            @pl.when(((bits >> j) & 1) == 1)
+            def _(c=c, slot=slot, ls=ls):
+                _span(c, slot, ls)
+
+        return 0
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cluster", "ray_tile",
+                                             "occlusion"))
+def tri_closest_hit_stream(origins, dirs, tmax, woop_o, woop_d,
+                           cluster_lo, cluster_hi, cluster: int,
+                           ray_tile: int = 1024, attr_tables=None,
+                           occlusion: bool = False):
+    """Streamed variant of tri_closest_hit_pallas for meshes whose tables
+    exceed VMEM (T > TRI_STREAM_MIN; validated to 1M+ triangles). Same
+    contract. Clusters group into superblocks of `g` clusters sized so the
+    exact XLA gate sees <= STREAM_GATE_BOXES boxes and each DMA block is
+    <= STREAM_MAX_SB triangles."""
+    n = origins.shape[1]
+    T = woop_o.shape[2]
+    emit_attrs = attr_tables is not None
+    C = cluster_lo.shape[0]
+    assert cluster % 128 == 0 and C * cluster == T, (cluster, C, T)
+
+    g = max(1, -(-C // STREAM_GATE_BOXES))
+    g = min(g, max(1, STREAM_MAX_SB // cluster))
+    S = -(-C // g)
+    sb_tris = g * cluster
+    Tp = S * sb_tris
+
+    ray_tile = min(ray_tile, n)
+    sub = TRI_SUB if ray_tile % TRI_SUB == 0 else ray_tile
+    assert n % ray_tile == 0 and ray_tile // sub <= MAX_SPANS
+    nt = n // ray_tile
+
+    oh, d4, tm = _rays_to_rows(origins, dirs, tmax)
+    wd4 = jnp.concatenate([woop_d, jnp.zeros((3, 1, T), woop_d.dtype)],
+                          axis=1)
+    w24 = jnp.concatenate([woop_o.reshape(12, T), wd4.reshape(12, T)],
+                          axis=0)
+    if Tp != T:
+        w24 = jnp.concatenate([w24, jnp.zeros((24, Tp - T), F32)], axis=1)
+
+    # superblock AABBs from cluster AABBs. Empty clusters carry far POINT
+    # boxes (scene/build): min over lo keeps the real bound, but max over
+    # a +FAR hi would blow a mixed superblock up to infinity — mask them.
+    clo = jnp.asarray(cluster_lo)
+    chi = jnp.asarray(cluster_hi)
+    if S * g != C:
+        padc = S * g - C
+        clo = jnp.concatenate([clo, jnp.full((padc, 3), F32(1e30))])
+        chi = jnp.concatenate([chi, jnp.full((padc, 3), F32(1e30))])
+    empty = clo[:, 0:1] > F32(1e29)
+    chi_eff = jnp.where(empty, F32(-1e30), chi)
+    sb_lo = jnp.min(clo.reshape(S, g, 3), axis=1)
+    sb_hi = jnp.max(chi_eff.reshape(S, g, 3), axis=1)
+    all_empty = jnp.all(empty.reshape(S, g, 1), axis=1)
+    sb_hi = jnp.where(all_empty, sb_lo, sb_hi)   # far point, not inverted
+
+    mean_o = jnp.mean(origins, axis=1)
+    cdist = jnp.linalg.norm(
+        jnp.maximum(jnp.maximum(sb_lo - mean_o[None, :],
+                                mean_o[None, :] - sb_hi), 0.0), axis=1)
+    rank = jnp.argsort(jnp.argsort(cdist)).astype(jnp.int32)
+    vids, vbits, cnt = _chunk_visit_lists(origins, dirs, tmax, sb_lo, sb_hi,
+                                          rank, ray_tile, sub)
+    packed, visit_spec = _pack_visit_rows(vids, vbits, cnt, nt, S)
+
+    ray_spec = pl.BlockSpec((4, ray_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, ray_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    in_specs = [visit_spec, smem, smem, ray_spec, ray_spec, row_spec, hbm]
+    operands = [packed, sb_lo, sb_hi, oh, d4, tm, w24]
+    out_specs = [row_spec, row_spec, row_spec, row_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, n), F32),
+        jax.ShapeDtypeStruct((1, n), jnp.int32),
+        jax.ShapeDtypeStruct((1, n), F32),
+        jax.ShapeDtypeStruct((1, n), F32),
+    ]
+    scratch = [pltpu.VMEM((2, 24, sb_tris), F32),
+               pltpu.SemaphoreType.DMA((2, 2))]
+    if emit_attrs:
+        a0, a1, a2 = attr_tables
+        # rows padded 37 -> 40: Mosaic DMA slices must be 8-aligned on the
+        # sublane dim
+        a37 = jnp.concatenate([a0, a1, a2, jnp.zeros((3, T), F32)], axis=0)
+        if Tp != T:
+            a37 = jnp.concatenate([a37, jnp.zeros((40, Tp - T), F32)],
+                                  axis=1)
+        in_specs.append(hbm)
+        operands.append(a37)
+        out_specs.append(pl.BlockSpec((21, ray_tile), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((21, n), F32))
+        scratch.insert(1, pltpu.VMEM((2, 40, sb_tris), F32))
+
+    out = pl.pallas_call(
+        functools.partial(_tri_stream_kernel, sb_tris=sb_tris, sub=sub,
+                          emit_attrs=emit_attrs, occlusion=occlusion),
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(*operands)
+    t, idx, u, v = out[:4]
+    res = (t.reshape(n), idx.reshape(n), u.reshape(n), v.reshape(n))
+    return res + ((out[4],) if emit_attrs else ())
+
+
+# ---------------------------------------------------------------------------
 # Torus kernel
 # ---------------------------------------------------------------------------
 
@@ -554,6 +859,16 @@ TORUS_CHUNK = 8        # tori per visited chunk, ungated scenes (the
                        # scenes round Kp up to this, so bigger chunks would
                        # just pad the quartic — 16 cost the 4-torus headline
                        # scene +40%)
+TORUS_NEWTON_OCCL = 3     # Newton polish iterations in the ANY-HIT quartic
+                          # (experimented below; closest-hit always uses 3)
+TORUS_OCCL_EARLY = False  # gated any-hit: gate each dispatch on "some ray
+                          # in the span is still unoccluded". Measured on
+                          # config 4's real shadow rays (63% of lanes
+                          # toward the light, tmax = light distance): only
+                          # 7.4% ever occlude, so the vector->scalar
+                          # reduce+branch is pure overhead (27.2 ms vs
+                          # 24.2 off). Kept as a flag: scenes with heavy
+                          # mutual shadowing would flip the trade.
 GATED_TORUS_CHUNK = 16  # tori per chunk with exact visit lists: halves the
                        # gate and chunk-walk overheads; on the 1k-instance
                        # grid 16 beats both 8 (30 ms) and 32 (25.7 ms) at
@@ -568,12 +883,12 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     Every ray is slab-tested against every 8-torus chunk AABB (vectorized,
     chunk-blocked so temporaries stay ~(8, N)), then reduced to
     "any candidate" per `sub`-lane span. A tile's passing chunks are
-    compacted front-to-back by ONE lax.sort_key_val over the key
+    compacted front-to-back by ONE multi-operand lax.sort over the key
     `rank + C * miss` (rank = the chunk's near-to-far position), carrying
-    packed entries `chunk_id | span_bits << ID_BITS` as values — the kernel
-    walks the first `cnt` entries via SMEM and runs the quartic only on
-    spans whose bit is set. Dead tiles/spans (tmax=0 bounce cull) drop out
-    here for free.
+    (chunk_id, span_bits) entry pairs as values — the kernel walks the
+    first `cnt` entries via SMEM and runs the quartic only on spans whose
+    bit is set. Dead tiles/spans (tmax=0 bounce cull) drop out here for
+    free.
 
     The gate costs ~1 us/Mray/chunk-block of dense XLA; it pays for itself
     when the chunk walk it prunes is long (K > ~64 tori). Small scenes
@@ -593,8 +908,9 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
 
     origins/dirs: (3, N) rows; tmax: (N,); clo/chi: (C, 3) chunk AABBs;
     rank: (C,) i32 front-to-back rank per chunk id; ray_tile/sub: the
-    kernel's tile and span widths (spans per tile <= 15 so the bits fit).
-    Returns (entries (nt, C) i32, cnt (nt, 1) i32) with nt = N // ray_tile.
+    kernel's tile and span widths (spans per tile <= 32: one i32 bits
+    word). Returns (ids (nt, C), bits (nt, C), cnt (nt, 1)) i32 with
+    nt = N // ray_tile.
     """
     C = clo.shape[0]
     n = origins.shape[1]
@@ -602,7 +918,6 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     nt = n // ray_tile
     n_sub = ray_tile // sub
     assert n_sub <= MAX_SPANS, n_sub
-    assert C <= ID_MASK, C  # ids share an i32 with the span bits
 
     inv = [_inv_dir(dirs[k]) for k in range(3)]      # 3 x (N,)
     tm = jnp.minimum(tmax, BIG)
@@ -640,13 +955,13 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     anym = jnp.any(spm, axis=1)                      # (nt, C)
     bits = jnp.zeros((nt, C), jnp.int32)
     for j in range(n_sub):
-        bits = bits | (spm[:, j, :].astype(jnp.int32) << (ID_BITS + j))
-    entries = jnp.arange(C, dtype=jnp.int32)[None, :] | bits
+        bits = bits | (spm[:, j, :].astype(jnp.int32) << j)
+    ids = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (nt, C))
     key = rank[None, :] + jnp.where(anym, 0, C).astype(jnp.int32)
     key = jnp.broadcast_to(key, (nt, C))
-    _, visit = jax.lax.sort_key_val(key, entries, dimension=1)
+    _, ids, bits = jax.lax.sort((key, ids, bits), dimension=1, num_keys=1)
     cnt = jnp.sum(anym, axis=1).astype(jnp.int32)[:, None]
-    return visit, cnt
+    return ids, bits, cnt
 
 
 def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
@@ -661,7 +976,8 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
     blocks some ray can touch.
 
     visit_ref: (1, Cp) i32 SMEM block — this tile's packed visit row,
-    laid out [cnt, entries..., pad], entry = chunk_id | span_bits << ID_BITS
+    laid out [cnt, id0, bits0, id1, bits1, ...] of (chunk_id, span_bits)
+    entry pairs
     (see _chunk_visit_lists's caller).
     Per-torus tables (w2o (Kp, 12), rad (Kp, 2), lo/hi (Kp, 3) world
     AABBs — 32 f32/torus, ~128 KB at 1k tori) stay fully VMEM-resident; a
@@ -718,6 +1034,21 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
             # + vector->scalar reduce + branch cost as much as the
             # quartic they would skip. Run the quartic unconditionally;
             # the [TMIN, tmax] root range check keeps correctness.
+            if occlusion and TORUS_OCCL_EARLY:
+                # ...except for any-hit: a span whose rays ALL have a hit
+                # already needs nothing more — the visit bits can't see
+                # hits found mid-walk, and in shadowed regions most spans
+                # occlude on the first front-to-back chunk, so this one
+                # reduce+branch skips the rest of the walk outright (the
+                # TerminateOnFirstHit analog, raytrace.rchit:96-109)
+                alive = (t_out[0:1, ls] >= BIG) & (tms > TMIN)
+
+                @pl.when(jnp.any(alive))
+                def _go_any():
+                    _quartic_eval(base, ls, col,
+                                  jnp.broadcast_to(alive, (chunk, sub)),
+                                  oxs, oys, ozs, dxs, dys, dzs, tms)
+                return
             cand = jnp.broadcast_to(tms > TMIN, (chunk, sub))
             _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs,
                           dys, dzs, tms)
@@ -781,7 +1112,8 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
 
         troot = torus_geom.quartic_min_positive(
             jnp, b3, b2, b1, b0,
-            TMIN - tshift, tms - tshift, newton_iters=3,
+            TMIN - tshift, tms - tshift,
+            newton_iters=TORUS_NEWTON_OCCL if occlusion else 3,
             extra_valid=cand & (rmin > 0.0), cubic="newton")
         t = jnp.where(troot < BIG, troot + tshift, BIG)
 
@@ -830,17 +1162,17 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
             attr_out[:, ls] = jnp.where(better, new, attr_cur)
 
     def visit_step(v, _):
-        # packed visit entry: low ID_BITS = chunk id, bit ID_BITS+j =
-        # "span j has a candidate ray" (exact per-ray gate,
-        # _chunk_visit_lists). Span dispatch is pure scalar-core work — no
-        # tile-wide vector ops run for spans whose bit is clear.
-        e = visit_ref[0, 1 + v]
-        c = e & ID_MASK
+        # visit entry pair: [chunk id, span bits] with bit j = "span j has
+        # a candidate ray" (exact per-ray gate, _chunk_visit_lists). Span
+        # dispatch is pure scalar-core work — no tile-wide vector ops run
+        # for spans whose bit is clear.
+        c = visit_ref[0, 1 + 2 * v]
+        bits = visit_ref[0, 2 + 2 * v]
         base = pl.multiple_of(c * chunk, 8)
         for j in range(n_sub):
             ls = slice(j * sub, (j + 1) * sub)
 
-            @pl.when(((e >> (ID_BITS + j)) & 1) == 1)
+            @pl.when(((bits >> j) & 1) == 1)
             def _(base=base, ls=ls):
                 _quartic(base, ls)
 
@@ -934,7 +1266,7 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     assert n % ray_tile == 0, (n, ray_tile)
     if gated:
         sub = TORUS_SUB if ray_tile % TORUS_SUB == 0 else ray_tile
-        while ray_tile // sub > MAX_SPANS:  # span bits sit above ID_BITS
+        while ray_tile // sub > MAX_SPANS:  # one i32 bits word per entry
             sub *= 2
     else:
         # ungated: the XLA gate costs more than a short chunk walk saves
@@ -969,18 +1301,18 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
 
     nt = n // ray_tile
     if gated:
-        visit, cnt = _chunk_visit_lists(origins, dirs, tmax, clo, chi,
-                                        rank, ray_tile, sub)
+        vids, vbits, cnt = _chunk_visit_lists(origins, dirs, tmax, clo,
+                                              chi, rank, ray_tile, sub)
     else:
         # the kernel's in-kernel gates do all the culling
         order = jnp.argsort(cdist).astype(jnp.int32)
-        visit, cnt = _const_visit_rows(order, nt)
+        vids, vbits, cnt = _const_visit_rows(order, nt)
     ray_spec = pl.BlockSpec((4, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     tor_spec = lambda w: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    packed, visit_spec = _pack_visit_rows(visit, cnt, nt, C)
+    packed, visit_spec = _pack_visit_rows(vids, vbits, cnt, nt, C)
 
     emit_attrs = mat_table is not None
     in_specs = [visit_spec, ray_spec, ray_spec, row_spec,
@@ -1110,7 +1442,10 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
             clo = jnp.full((1, 3), -3e38, F32)
             chi = jnp.full((1, 3), 3e38, F32)
         tables = _tri_attr_tables(scene, geom) if want_attrs else None
-        out = tri_closest_hit_pallas(
+        stream = (T_local > TRI_STREAM_MIN and cs % 128 == 0
+                  and n_cl * cs == T_local)
+        launch = tri_closest_hit_stream if stream else tri_closest_hit_pallas
+        out = launch(
             origins, dirs, tmax, geom.woop_o, geom.woop_d, clo, chi, cs,
             attr_tables=tables, occlusion=occlusion)
         tt, ti, tu, tv = out[:4]

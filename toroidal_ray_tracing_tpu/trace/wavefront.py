@@ -15,6 +15,7 @@ bounce loop. `trace_rays` accepts either layout at the boundary
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Any
 
 import jax
@@ -26,6 +27,18 @@ from toroidal_ray_tracing_tpu.trace.intersect import closest_hit
 from toroidal_ray_tracing_tpu.trace.shade import shade
 
 F32 = np.float32
+
+COMPACT_SPAN = 128    # live-ray compaction granularity = the kernels' span
+                      # width; whole spans stay contiguous so the permute
+                      # is cheap 512 B row gathers, not per-ray gathers
+                      # (~150x cheaper — XLA element gathers run 1/cycle)
+COMPACT_FACTOR = 8    # shrunken-dispatch bucket: when every live span fits
+                      # in the first n/8 lanes, the bounce traces/shades
+                      # only that prefix (config 3's bounce 2 is ~5% live:
+                      # the reference's dead rays exit the rgen loop for
+                      # free, raytrace.rgen:100-103 — this is the TPU
+                      # analog; each extra bucket size costs a full set of
+                      # Mosaic kernel recompiles, so one is kept)
 
 
 class RayState(NamedTuple):
@@ -79,36 +92,56 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         rays_traced=jnp.asarray(0, jnp.int32),
     )
 
-    def cond(state: RayState):
+    # live-ray compaction (pallas path): permute whole COMPACT_SPAN-lane
+    # spans so live spans pack to the front, then trace/shade only an n/8
+    # prefix once every live span fits in it. The permutation is a pure
+    # relabeling — all per-ray state travels together, and span_orig
+    # carries each slot's original span id so outputs unpermute once at
+    # the end.
+    small = n // COMPACT_FACTOR
+    compact = (backend == "pallas"
+               and n % (COMPACT_FACTOR * 2048) == 0 and small >= 2048)
+    sizes = (n, small) if compact else (n,)
+    n_spans = n // COMPACT_SPAN if compact else 1
+
+    def cond(carry):
+        state, _ = carry
         # the rgen loop is a do-while (rgen:75-108): it always traces the
         # primary segment, even when maxDepth <= 0
         return state.any_active & ((state.depth < max_depth)
                                    | (state.depth == 0))
 
-    def body(state: RayState) -> RayState:
+    def _bounce(state: RayState, nb: int) -> RayState:
+        """One bounce over the first nb rays (the full batch, or the
+        packed live prefix — the suffix is then all-dead by bucket
+        construction and carries over untouched)."""
+        pre = (lambda a: a[:, :nb]) if nb != n else (lambda a: a)
+        act = state.active[:nb] if nb != n else state.active
         # dead rays trace with tmax = 0: the kernels' tile culls then skip
-        # them entirely (the live-ray compaction analog for dense batches)
-        seg_tmax = jnp.where(state.active, F32(10000.0), F32(0.0))
-        hit = closest_hit(scene, state.origin, state.dir, tmax=seg_tmax,
-                          backend=backend, geom=geom, prim_axis=prim_axis,
+        # them entirely
+        seg_tmax = jnp.where(act, F32(10000.0), F32(0.0))
+        hit = closest_hit(scene, pre(state.origin), pre(state.dir),
+                          tmax=seg_tmax, backend=backend, geom=geom,
+                          prim_axis=prim_axis,
                           want_attrs=backend == "pallas")
-        sh = shade(scene, settings, state.origin, state.dir, hit,
+        sh = shade(scene, settings, pre(state.origin), pre(state.dir), hit,
                    backend=backend, geom=geom, prim_axis=prim_axis)
 
-        live = state.active[None, :]
+        live = act[None, :]
         # rchit multiplies prd.attenuation before rgen accumulates
         # (rchit:127 runs inside traceRayEXT, before rgen:92)
-        attenuation = jnp.where(live, state.attenuation * sh.atten_factor,
-                                state.attenuation)
-        hit_value = jnp.where(live, state.hit_value + sh.hit_value * attenuation,
-                              state.hit_value)
-        record_first = ((state.depth == 0) & state.active)[None, :]
+        attenuation = jnp.where(live, pre(state.attenuation) * sh.atten_factor,
+                                pre(state.attenuation))
+        hit_value = jnp.where(live,
+                              pre(state.hit_value) + sh.hit_value * attenuation,
+                              pre(state.hit_value))
+        record_first = ((state.depth == 0) & act)[None, :]
         hit_position = jnp.where(record_first, sh.hit_position,
-                                 state.hit_position)
+                                 pre(state.hit_position))
 
-        active = state.active & ~sh.done & (state.depth + 1 < max_depth)
-        origin = jnp.where(active[None, :], sh.next_origin, state.origin)
-        direction = jnp.where(active[None, :], sh.next_dir, state.dir)
+        active = act & ~sh.done & (state.depth + 1 < max_depth)
+        origin = jnp.where(active[None, :], sh.next_origin, pre(state.origin))
+        direction = jnp.where(active[None, :], sh.next_dir, pre(state.dir))
 
         # the early-exit decision must be identical on every device (the
         # body contains collectives when prim_axis is set)
@@ -119,8 +152,18 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
 
         # traceRayEXT-equivalent count: one closest-hit per live ray plus one
         # shadow ray per lit hit (raytrace.rchit:90-109)
-        rays = state.rays_traced + jnp.sum(state.active.astype(jnp.int32)) \
-            + jnp.sum((state.active & sh.shadow_rays).astype(jnp.int32))
+        rays = state.rays_traced + jnp.sum(act.astype(jnp.int32)) \
+            + jnp.sum((act & sh.shadow_rays).astype(jnp.int32))
+
+        if nb != n:
+            catr = lambda p, full: jnp.concatenate(  # noqa: E731
+                [p, full[:, nb:]], axis=1)
+            origin = catr(origin, state.origin)
+            direction = catr(direction, state.dir)
+            hit_value = catr(hit_value, state.hit_value)
+            attenuation = catr(attenuation, state.attenuation)
+            hit_position = catr(hit_position, state.hit_position)
+            active = jnp.concatenate([active, state.active[nb:]])
 
         return RayState(
             origin=origin, dir=direction, hit_value=hit_value,
@@ -129,8 +172,46 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
             rays_traced=rays,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    def body(carry):
+        state, span_orig = carry
+        if not compact:
+            return _bounce(state, n), span_orig
+
+        live = jnp.any(state.active.reshape(n_spans, COMPACT_SPAN), axis=1)
+        perm = jnp.argsort(~live, stable=True)       # live spans first
+        prow = lambda a: a.reshape(  # noqa: E731
+            a.shape[0], n_spans, COMPACT_SPAN)[:, perm].reshape(a.shape[0], n)
+        state = RayState(
+            origin=prow(state.origin), dir=prow(state.dir),
+            hit_value=prow(state.hit_value),
+            attenuation=prow(state.attenuation),
+            hit_position=prow(state.hit_position),
+            active=state.active.reshape(n_spans, COMPACT_SPAN)[perm]
+                                .reshape(n),
+            any_active=state.any_active, depth=state.depth,
+            rays_traced=state.rays_traced)
+        span_orig = span_orig[perm]
+
+        live_rays = jnp.sum(live.astype(jnp.int32)) * COMPACT_SPAN
+        bucket = (live_rays <= small).astype(jnp.int32)
+        # collectives inside the bounce require a mesh-uniform branch:
+        # pmin picks the larger (always-safe) size
+        for ax in (ray_axis, prim_axis):
+            if ax is not None:
+                bucket = jax.lax.pmin(bucket, ax)
+        state = jax.lax.switch(
+            bucket, [functools.partial(_bounce, nb=sz) for sz in sizes],
+            state)
+        return state, span_orig
+
+    span_orig0 = jnp.arange(n_spans, dtype=jnp.int32)
+    final, span_orig = jax.lax.while_loop(cond, body, (init, span_orig0))
     hv, hp = final.hit_value, final.hit_position
+    if compact:
+        inv = jnp.argsort(span_orig)
+        unrow = lambda a: a.reshape(  # noqa: E731
+            3, n_spans, COMPACT_SPAN)[:, inv].reshape(3, n)
+        hv, hp = unrow(hv), unrow(hp)
     if not rows:
         hv, hp = hv.T, hp.T
     # f32 at the boundary: callers accumulate across spp/bands/devices where
