@@ -188,8 +188,12 @@ def render_sequence(scene, cameras, width, height, settings=None,
                 if n_frames % g == 0 and g <= target:
                     group = g
     params = [c.ray_params(width, height, settings) for c in cameras]
-    stack = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params)
+    # stack on the HOST and upload once: eager jnp.stack/asarray here would
+    # issue ~2 device ops per frame, and in sync-dispatch mode (any process
+    # that has fetched a result — see bench.py) EACH pays the tunnel RTT:
+    # a 240-frame stack measured ~480 ms of pure dispatch, 5x the render
+    stack = jax.device_put(jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *params))
     total, images = _sequence_jit(scene, settings, stack,
                                   jax.random.PRNGKey(seed), cam_cls, width,
                                   height, backend, spp, keep_images,
