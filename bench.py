@@ -121,9 +121,13 @@ def _write_ladder(backend, headline, headline_mfu, headline_speedup):
         # sustained-throughput mode: frames scanned inside one jit (the
         # per-frame number above additionally pays the tunnel's ~40 ms
         # dispatch round trip per frame, which dominates small frames).
-        # Small frames get the reference's 60-frames-per-step cadence
-        # (main.cpp:337-341) so the single dispatch RTT amortizes away.
-        seq_frames = {1: 60, 2: 60, 3: 16, 4: 16, 5: 8, 6: 16}[n]
+        # Small frames get a multi-rho-step slice of the reference's
+        # continuous experiment loop (60 frames per rho step x 13 steps =
+        # 780 frames without a host sync, main.cpp:337-341 + :245): 240
+        # frames for config 1 (a 72k-ray frame renders in ~2 ms — at 60
+        # frames the single ~40 ms dispatch RTT still eats 40% of the
+        # window), 60 for config 2.
+        seq_frames = {1: 240, 2: 60, 3: 16, 4: 16, 5: 8, 6: 16}[n]
         _, seq = run_scenario(n, backend=backend, frames=seq_frames,
                               sequence=True)
         row["mrays_per_s_sequence"] = seq["mrays_per_s"]
