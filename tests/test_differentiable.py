@@ -115,3 +115,24 @@ def test_radius_gradient_is_finite(setup):
 
     g = jax.grad(loss)(jnp.asarray(0.55, F32))
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_pallas_backend_gradients(setup):
+    """backend="pallas" primal runs the Mosaic kernels; the backward pass
+    recomputes through the jnp path (intersect.closest_hit_diff). Values and
+    gradients must match the all-jnp formulation."""
+    scene, st, o, d = setup
+
+    def loss(minor, backend):
+        tori = scene.tori._replace(
+            minor_radius=jnp.broadcast_to(minor, scene.tori.minor_radius.shape))
+        s = dataclasses.replace(scene, tori=tori)
+        hv, _ = trace_rays_fixed(s, st, o, d, 1, backend=backend)
+        return jnp.mean(hv)
+
+    for m in (0.5, 0.65):
+        lj, gj = jax.value_and_grad(loss)(jnp.asarray(m, F32), "jnp")
+        lp, gp = jax.value_and_grad(loss)(jnp.asarray(m, F32), "pallas")
+        np.testing.assert_allclose(float(lp), float(lj), rtol=1e-5)
+        assert float(gj) != 0.0
+        np.testing.assert_allclose(float(gp), float(gj), rtol=1e-3)

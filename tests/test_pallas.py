@@ -205,3 +205,48 @@ def test_streamed_occlusion_matches_resident():
     # any-hit: only hit existence is defined
     np.testing.assert_array_equal(np.asarray(ref[0]) < 1e30,
                                   np.asarray(out[0]) < 1e30)
+
+
+def test_loose_triangle_hoist_matches_jnp():
+    """Loose tail rows (scene.loose_tris — e.g. the 2-triangle ground plane
+    of the mesh ladder scene, build._split_loose_clusters) are brute-forced
+    in a dense XLA prepass and their clusters never dispatch; results must
+    be identical to the jnp all-pairs path in closest, occlusion, and attrs
+    modes."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+
+    scene = build_scene(procedural.scene_multi_torus(False))
+    assert scene.loose_tris == 2  # the ground plane
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    o, d = cam.generate_rays(64, 32, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+
+    hj = isect.closest_hit(scene, o, d, backend="jnp")
+    hp = isect.closest_hit(scene, o, d, backend="pallas")
+    np.testing.assert_allclose(np.minimum(np.asarray(hp.t), 1e4),
+                               np.minimum(np.asarray(hj.t), 1e4),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(hp.kind), np.asarray(hj.kind))
+    np.testing.assert_array_equal(np.asarray(hp.prim), np.asarray(hj.prim))
+
+    occ = isect.closest_hit(scene, o, d, backend="pallas", occlusion=True)
+    np.testing.assert_array_equal(np.asarray(occ.kind) >= 0,
+                                  np.asarray(hj.kind) >= 0)
+
+    # attrs: plane winners carry the plane's (0, 1, 0) normal and its
+    # mirror material's diffuse
+    ha = isect.closest_hit(scene, o, d, backend="pallas", want_attrs=True)
+    base = scene.triangles.woop_o.shape[2] - scene.cluster_size
+    on_plane = (np.asarray(ha.kind) == 0) & (np.asarray(ha.prim) >= base)
+    assert on_plane.sum() > 100
+    nrm = np.asarray(ha.attrs.nrm)[:, on_plane]
+    np.testing.assert_allclose(nrm[0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(nrm[1], 1.0, atol=1e-5)
+    diff = np.asarray(ha.attrs.diffuse)[:, on_plane]
+    np.testing.assert_allclose(
+        diff, np.broadcast_to(np.array([[0.25], [0.25], [0.28]], np.float32),
+                              diff.shape), atol=1e-5)

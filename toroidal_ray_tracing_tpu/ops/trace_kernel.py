@@ -1397,6 +1397,57 @@ def _tri_attr_tables(scene: Scene, geom):
     return a0, a1, a2
 
 
+def _loose_tri_hit(origins, dirs, tmax, woop_o, woop_d, base: int, L: int):
+    """Dense XLA closest-hit over the loose tail rows [base, base+L).
+
+    Loose triangles (scene.loose_tris — spatially fat rows like a ground
+    plane, compacted to the table tail by build._split_loose_clusters) are
+    brute-forced here instead of dispatched in-kernel: their whole-scene
+    AABBs made every ray tile visit their cluster (38.8% of all dispatches
+    on the 23k-tri ladder mesh for 2 plane triangles). Row-native, no
+    per-ray gathers; (L, N) temporaries with L <= build.LOOSE_TOTAL_MAX."""
+    n = origins.shape[1]
+    oh = jnp.concatenate([origins, jnp.ones((1, n), F32)], axis=0)   # (4, N)
+    wo = jax.lax.slice_in_dim(woop_o, base, base + L, axis=2)        # (3,4,L)
+    wd = jax.lax.slice_in_dim(woop_d, base, base + L, axis=2)        # (3,3,L)
+    hp = jnp.einsum("kal,an->kln", wo, oh, precision="highest")      # (3,L,N)
+    dp = jnp.einsum("kal,an->kln", wd, dirs, precision="highest")
+    dz = dp[2]
+    dz_ok = jnp.abs(dz) > F32(1e-12)
+    inv = jnp.where(dz_ok, F32(1.0), F32(0.0)) / jnp.where(dz_ok, dz,
+                                                           F32(1.0))
+    t = -hp[2] * inv
+    uu = hp[0] + t * dp[0]
+    vv = hp[1] + t * dp[1]
+    ok = dz_ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) \
+        & (t >= TMIN) & (t <= tmax[None, :])
+    t = jnp.where(ok, t, BIG).astype(F32)
+    tb = jnp.min(t, axis=0)                                          # (N,)
+    rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    idx = jnp.min(jnp.where(t <= tb[None, :], rows, L), axis=0)
+    idx = jnp.minimum(idx, L - 1).astype(jnp.int32)
+    pick = rows == idx[None, :]
+    miss = tb >= BIG
+    ub = jnp.where(miss, F32(0.0), jnp.sum(jnp.where(pick, uu, 0.0), axis=0))
+    vb = jnp.where(miss, F32(0.0), jnp.sum(jnp.where(pick, vv, 0.0), axis=0))
+    return tb, idx, ub.astype(F32), vb.astype(F32)
+
+
+def _loose_attr(tables, base: int, L: int, idx, u_, v_, hit):
+    """(21, N) interpolated ShadeAttrs rows for the loose prepass winners —
+    the XLA mirror of _tri_kernel's attr epilogue, as one-hot matmuls (the
+    per-ray alternative is a gather: ~1 row/cycle on TPU)."""
+    a0, a1, a2 = tables
+    sl = lambda a: jax.lax.slice_in_dim(a, base, base + L, axis=1)  # noqa: E731
+    onehot = ((idx[None, :] == jnp.arange(L, dtype=jnp.int32)[:, None])
+              & hit[None, :]).astype(F32)                            # (L, N)
+    A0 = jnp.einsum("al,ln->an", sl(a0), onehot, precision="highest")
+    A1 = jnp.einsum("al,ln->an", sl(a1), onehot, precision="highest")
+    A2 = jnp.einsum("al,ln->an", sl(a2), onehot, precision="highest")
+    top = A0[:8] + u_[None, :] * A1 + v_[None, :] * A2
+    return jnp.concatenate([top, A0[8:]], axis=0)
+
+
 def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
                        want_attrs: bool = False, occlusion: bool = False):
     """Fused closest-hit over the geometry slice. Pads the ray batch to the
@@ -1442,16 +1493,50 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
             clo = jnp.full((1, 3), -3e38, F32)
             chi = jnp.full((1, 3), 3e38, F32)
         tables = _tri_attr_tables(scene, geom) if want_attrs else None
+
+        # loose-triangle hoist: test the tail rows densely in XLA, tighten
+        # the kernel's tmax with their hits (extra behind-the-floor chunk
+        # culling), and cull the tail clusters outright. Skipped on
+        # prims-axis shards (T_local != scene table), where the tail keeps
+        # its real AABB and the owning shard's kernel tests it normally.
+        L = scene.loose_tris
+        hoist = (L > 0 and n_cl * cs == T_local
+                 and T_local == scene.triangles.woop_o.shape[2])
+        tri_tmax = tmax
+        loose_attr = None
+        if hoist:
+            n_tail = (L + cs - 1) // cs
+            base = T_local - n_tail * cs
+            lt, lidx, lu, lv = _loose_tri_hit(
+                origins, dirs, tmax, geom.woop_o, geom.woop_d, base, L)
+            lhit = lt < BIG
+            t_best = jnp.where(lhit, lt, t_best)
+            kind = jnp.where(lhit, 0, kind)
+            prim = jnp.where(lhit, base + lidx + geom.tri_offset, prim)
+            u = jnp.where(lhit, lu, u)
+            v = jnp.where(lhit, lv, v)
+            if want_attrs:
+                loose_attr = _loose_attr(tables, base, L, lidx, lu, lv, lhit)
+            far = jnp.full((n_tail, 3), F32(2.0e38))
+            clo = jnp.concatenate([clo[:n_cl - n_tail], far], axis=0)
+            chi = jnp.concatenate([chi[:n_cl - n_tail], far], axis=0)
+            if occlusion:
+                tri_tmax = jnp.where(lhit, F32(0.0), tmax)
+            else:
+                tri_tmax = jnp.minimum(tmax, lt)
+
         stream = (T_local > TRI_STREAM_MIN and cs % 128 == 0
                   and n_cl * cs == T_local)
         launch = tri_closest_hit_stream if stream else tri_closest_hit_pallas
         out = launch(
-            origins, dirs, tmax, geom.woop_o, geom.woop_d, clo, chi, cs,
+            origins, dirs, tri_tmax, geom.woop_o, geom.woop_d, clo, chi, cs,
             attr_tables=tables, occlusion=occlusion)
         tt, ti, tu, tv = out[:4]
+        better = tt < t_best
         if want_attrs:
             tri_attr = out[4]                        # (21, Np)
-        better = tt < t_best
+            if loose_attr is not None:
+                tri_attr = jnp.where(better[None, :], tri_attr, loose_attr)
         t_best = jnp.where(better, tt, t_best)
         kind = jnp.where(better, 0, kind)
         prim = jnp.where(better, ti + geom.tri_offset, prim)

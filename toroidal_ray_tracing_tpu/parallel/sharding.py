@@ -71,6 +71,13 @@ def _pad_triangles_for_mesh(scene: Scene, n_prim_shards: int) -> Scene:
     if Tp == T:
         return scene
     pad = Tp - T
+    if scene.loose_tris:
+        # padding clusters land AFTER the loose tail, breaking the
+        # tail-at-end layout the hoist slices; per-shard slices skip the
+        # hoist anyway (trace_kernel.closest_hit_pallas checks T_local), so
+        # just drop the marker — tail clusters keep their real AABBs and the
+        # owning shard's kernel tests them like any other cluster
+        scene = scene.replace(loose_tris=0)
     tri = scene.triangles
 
     def cat(a, fill, shape):

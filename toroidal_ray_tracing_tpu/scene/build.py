@@ -71,6 +71,42 @@ def _woop_matrices(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     return W.astype(F32), c.astype(F32), degenerate
 
 
+LOOSE_MAX_PER_CLUSTER = 8   # a cluster this sparse is mostly padding: its
+                            # dispatches compute >= 15/16 dead rows
+LOOSE_TOTAL_MAX = 16        # the XLA hoist is dense over (loose x rays) —
+                            # keep it a few matmul columns
+
+
+def _split_loose_clusters(slots: np.ndarray, cluster_size: int):
+    """Compact nearly-empty clusters' live rows into tail clusters.
+
+    Spatially fat primitives (a whole-floor ground plane) end up alone in a
+    cluster whose AABB every ray tile visits, so each visit pays a full
+    cluster-wide pair tile for a handful of real rows — 38.8% of all
+    dispatches on the 23k-tri ladder mesh were the 2-triangle plane. Clusters
+    with <= LOOSE_MAX_PER_CLUSTER live rows (when the scene has denser ones)
+    move to the END of the table, live rows first: the Pallas orchestrator
+    brute-forces them in one dense XLA prepass (closest_hit_pallas) and never
+    dispatches their clusters. Returns (new_slots, n_loose)."""
+    cs = cluster_size
+    C = len(slots) // cs
+    if C < 2:
+        return slots, 0
+    blocks = slots.reshape(C, cs)
+    live = (blocks >= 0).sum(axis=1)
+    loose = (live > 0) & (live <= LOOSE_MAX_PER_CLUSTER)
+    if not loose.any() or (~loose & (live > 0)).sum() == 0:
+        return slots, 0
+    loose_rows = blocks[loose][blocks[loose] >= 0]
+    if not (1 <= len(loose_rows) <= LOOSE_TOTAL_MAX):
+        return slots, 0
+    dense = blocks[~loose].reshape(-1)
+    n_loose = len(loose_rows)
+    tail = np.full(_round_up(n_loose, cs), -1, slots.dtype)
+    tail[:n_loose] = loose_rows
+    return np.concatenate([dense, tail]), n_loose
+
+
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     if a.shape[0] >= n:
         return a[:n]
@@ -398,6 +434,8 @@ def build_scene(
         slots = np.full(T0, -1, np.int64)
         slots[:n_real] = order
 
+    slots, n_loose = _split_loose_clusters(slots, cluster_size)
+
     T = len(slots)
     valid = slots >= 0
     FAR = F32(1e30)
@@ -508,4 +546,5 @@ def build_scene(
         cluster_lo=cluster_lo.astype(F32),
         cluster_hi=cluster_hi.astype(F32),
         cluster_size=cluster_size,
+        loose_tris=n_loose,
     )

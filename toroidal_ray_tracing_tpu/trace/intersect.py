@@ -254,6 +254,56 @@ def _closest_hit_jnp(scene: Scene, geom: GeomSlice, origins, dirs, tmax) -> Hit:
     return Hit(t=flat(t), kind=flat(kind), prim=flat(prim), u=flat(u), v=flat(v))
 
 
+@jax.custom_vjp
+def _closest_hit_pallas_diff(scene, origins, dirs, tmax):
+    from toroidal_ray_tracing_tpu.ops.trace_kernel import closest_hit_pallas
+
+    return closest_hit_pallas(scene, geom_from_scene(scene), origins, dirs,
+                              tmax)
+
+
+def _chd_fwd(scene, origins, dirs, tmax):
+    return (_closest_hit_pallas_diff(scene, origins, dirs, tmax),
+            (scene, origins, dirs, tmax))
+
+
+def _chd_bwd(res, ct):
+    # flash-attention-style recompute: the backward pass re-derives the hit
+    # on the dense jnp path (O(rays x prims), offline-acceptable) and pulls
+    # the cotangents through ITS vjp — the Mosaic kernels never need one.
+    # Integer outputs (kind/prim) carry symbolic-zero cotangents; only
+    # (t, u, v) flow.
+    scene, origins, dirs, tmax = res
+
+    def f(scene, origins, dirs, tmax):
+        h = _closest_hit_jnp(scene, geom_from_scene(scene), origins, dirs,
+                             tmax)
+        return h.t, h.u, h.v
+
+    _, vjp = jax.vjp(f, scene, origins, dirs, tmax)
+    return vjp((ct.t, ct.u, ct.v))
+
+
+_closest_hit_pallas_diff.defvjp(_chd_fwd, _chd_bwd)
+
+
+def closest_hit_diff(scene: Scene, origins, dirs, tmax=None) -> Hit:
+    """Differentiable closest-hit on the PALLAS backend.
+
+    The Mosaic kernels define no VJP; this wrapper runs them for the primal
+    and recomputes the backward pass through the jnp reference path (whose
+    argmin-gather formulation reverse-differentiates fine) — enabling
+    inverse rendering at kernel speed (`trace_rays_fixed(backend="pallas")`,
+    a capability the reference's hardware pipeline cannot express at all).
+    origins/dirs: (3, N) rows."""
+    n = origins.shape[1]
+    if tmax is None:
+        tmax = jnp.full((n,), TMAX, F32)
+    else:
+        tmax = jnp.broadcast_to(jnp.asarray(tmax, F32), (n,))
+    return _closest_hit_pallas_diff(scene, origins, dirs, tmax)
+
+
 def any_hit(scene: Scene, origins, dirs, tmax, backend: str = "jnp",
             geom: Optional[GeomSlice] = None,
             prim_axis: Optional[str] = None):

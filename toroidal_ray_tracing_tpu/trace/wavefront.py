@@ -230,18 +230,25 @@ def trace_rays_fixed(scene: Scene, settings: RenderSettings, origins, dirs,
     reference's hardware pipeline cannot express. Semantics match
     `trace_rays` for rays that terminate within `depth` bounces.
 
-    Use backend="jnp" (the Pallas custom calls do not define VJPs).
-    origins/dirs: (N, 3).
+    backend="pallas" runs the Mosaic kernels for the primal and recomputes
+    the backward pass through the jnp path (intersect.closest_hit_diff);
+    shading then uses the gather formulation (no kernel attrs), which
+    reverse-differentiates fine. origins/dirs: (N, 3).
     """
+    from toroidal_ray_tracing_tpu.trace.intersect import closest_hit_diff
+
     origins, dirs = origins.T, dirs.T
     n = origins.shape[1]
 
     def step(state, i):
         origin, direction, hit_value, attenuation, hit_position, active = state
         seg_tmax = jnp.where(active, F32(10000.0), F32(0.0))
-        hit = closest_hit(scene, origin, direction, tmax=seg_tmax,
-                          backend=backend)
-        sh = shade(scene, settings, origin, direction, hit, backend=backend)
+        if backend == "pallas":
+            hit = closest_hit_diff(scene, origin, direction, tmax=seg_tmax)
+        else:
+            hit = closest_hit(scene, origin, direction, tmax=seg_tmax,
+                              backend=backend)
+        sh = shade(scene, settings, origin, direction, hit, backend="jnp")
 
         live = active[None, :]
         attenuation = jnp.where(live, attenuation * sh.atten_factor,
