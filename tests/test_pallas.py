@@ -250,3 +250,66 @@ def test_loose_triangle_hoist_matches_jnp():
     np.testing.assert_allclose(
         diff, np.broadcast_to(np.array([[0.25], [0.25], [0.28]], np.float32),
                               diff.shape), atol=1e-5)
+
+
+def test_small_torus_kernel_matches_chunk_kernel():
+    """K <= 8 scenes dispatch the rays-on-sublanes kernel
+    (torus_closest_hit_small); it must agree with the jnp torus
+    intersection (same quartic math, folded layout) in closest, occlusion,
+    and attrs modes."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.scene import procedural as proc
+    from toroidal_ray_tracing_tpu.scene.types import SceneDef, Torus
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+    from toroidal_ray_tracing_tpu.utils import math3d
+
+    sd = SceneDef()  # the multi-torus scene's tori, without the plane
+    sd.add_model(Torus(1.6, 0.5, [proc.mirror()]),
+                 math3d.translation((0.0, 0.8, 0.0)))
+    sd.add_model(Torus(1.2, 0.4, [proc.matte((0.9, 0.25, 0.2))]),
+                 math3d.compose(math3d.translation((-3.5, 0.6, 1.5)),
+                                math3d.rotation_x(90.0)))
+    sd.add_model(Torus(1.0, 0.35, [proc.matte((0.2, 0.4, 0.9))]),
+                 math3d.compose(math3d.translation((3.2, 0.5, -1.0)),
+                                math3d.rotation_z(90.0)))
+    sd.add_model(Torus(0.8, 0.3, [proc.mirror((0.7, 0.8, 0.9))]),
+                 math3d.translation((1.5, 0.4, 3.0)))
+    scene = build_scene(sd)
+    geom = isect.geom_from_scene(scene)
+    assert geom.tor_major.shape[0] <= tk.TORUS_SMALL_MAX_K
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=1)
+    o, d = cam.generate_rays(64, 32, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+    hj = isect._closest_hit_jnp(scene, geom, o, d, tmax)
+    tj = np.minimum(np.asarray(hj.t), 1e4)
+
+    for occl in (False, True):
+        small = tk.torus_closest_hit_small(
+            o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
+            occlusion=occl)
+        ts = np.minimum(np.asarray(small[0]), 1e4)
+        if occl:
+            np.testing.assert_array_equal(ts < 1e4, tj < 1e4)
+        else:
+            np.testing.assert_allclose(ts, tj, rtol=1e-4, atol=1e-3)
+            hit = ts < 1e4
+            np.testing.assert_array_equal(
+                np.asarray(small[1])[hit], np.asarray(hj.prim)[hit])
+
+    # attrs: winner normals finite/nonzero, material rows = the winner's
+    mat = jnp.asarray(
+        np.arange(4 * 12, dtype=np.float32).reshape(4, 12))
+    sm = tk.torus_closest_hit_small(
+        o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
+        mat_table=mat)
+    hit = np.asarray(sm[0]) < 1e30
+    attr = np.asarray(sm[2])
+    nrm = attr[0:3, hit]
+    assert np.isfinite(nrm).all() and (np.abs(nrm).sum(axis=0) > 1e-6).all()
+    widx = np.asarray(sm[1])[hit]
+    np.testing.assert_allclose(attr[3, hit], widx * 12.0)

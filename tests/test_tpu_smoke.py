@@ -159,6 +159,60 @@ def test_streamed_tri_kernel_mosaic_parity():
 
 
 @needs_tpu
+def test_small_torus_kernel_mosaic_parity():
+    """Folded small-K torus kernel (rays on sublanes AND lanes,
+    torus_closest_hit_small) vs the chunk-layout kernel on real hardware —
+    closest, occlusion, and attrs-emission modes. This is the Mosaic
+    compile gate for flipping TORUS_SMALL_ENABLE on."""
+    import jax.numpy as jnp
+    import toroidal_ray_tracing_tpu as trt
+    from toroidal_ray_tracing_tpu.cameras import generate_rays
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.scene import build_scene, procedural
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+
+    sd = procedural.scene_multi_torus(analytic=True)
+    scene = build_scene(sd)
+    geom = isect.geom_from_scene(scene)
+    assert geom.tor_major.shape[0] <= tk.TORUS_SMALL_MAX_K
+    cam = trt.PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = trt.RenderSettings.default(max_depth=1)
+    o_h, d_h = generate_rays(cam, 256, 128, st, xp=np)
+    o, d = jnp.asarray(o_h.T), jnp.asarray(d_h.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+    mat = jnp.asarray(
+        np.arange(geom.tor_major.shape[0] * 12,
+                  dtype=np.float32).reshape(-1, 12))
+
+    ref = tk.torus_closest_hit_pallas(
+        o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
+        mat_table=mat)
+    out = tk.torus_closest_hit_small(
+        o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
+        mat_table=mat)
+    tr = np.minimum(np.asarray(ref[0]), 1e4)
+    ts = np.minimum(np.asarray(out[0]), 1e4)
+    agree = np.isclose(tr, ts, rtol=1e-4, atol=1e-3)
+    assert (~agree).sum() <= max(4, tr.size // 2000), (~agree).sum()
+    hit = agree & (ts < 1e4)
+    np.testing.assert_array_equal(np.asarray(out[1])[hit],
+                                  np.asarray(ref[1])[hit])
+    np.testing.assert_allclose(np.asarray(out[2])[:, hit],
+                               np.asarray(ref[2])[:, hit],
+                               rtol=1e-3, atol=1e-3)
+
+    r_oc = tk.torus_closest_hit_pallas(
+        o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
+        occlusion=True)
+    o_oc = tk.torus_closest_hit_small(
+        o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
+        occlusion=True)
+    ra = np.asarray(r_oc[0]) < 1e30
+    oa = np.asarray(o_oc[0]) < 1e30
+    assert (ra == oa).mean() > 0.999, (ra != oa).sum()
+
+
+@needs_tpu
 def test_compaction_buckets_mosaic_parity():
     """Live-ray span compaction (wavefront COMPACT_FACTOR buckets) on real
     hardware: a 384x384 3-bounce render crosses the compaction threshold,

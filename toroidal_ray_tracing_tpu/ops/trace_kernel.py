@@ -1255,6 +1255,13 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     del torus_tile
     n = origins.shape[1]
     K = major.shape[0]
+    if (TORUS_SMALL_ENABLE and K <= TORUS_SMALL_MAX_K
+            and n % TORUS_SMALL_TILE == 0):
+        # tiny torus sets: the rays-on-sublanes kernel runs K full-occupancy
+        # quartics instead of one chunk-padded (8, rays) eval
+        return torus_closest_hit_small(origins, dirs, tmax, w2o, major,
+                                       minor, mat_table=mat_table,
+                                       occlusion=occlusion)
     gated = K > 64
     chunk = GATED_TORUS_CHUNK if gated else TORUS_CHUNK
     if not gated and n % 2048 == 0:
@@ -1346,6 +1353,254 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     )(*operands)
     res = (out[0].reshape(n), out[1].reshape(n))
     return res + ((out[2],) if emit_attrs else ())
+
+
+# ---------------------------------------------------------------------------
+# Small-K torus kernel: rays fold onto SUBLANES
+# ---------------------------------------------------------------------------
+
+TORUS_SMALL_ENABLE = False  # dispatch gate for the folded kernel: parity-
+                            # verified in interpret mode (tests) but NOT yet
+                            # compiled by Mosaic on hardware — flip to True
+                            # only after the TPU smoke run passes (a compile
+                            # failure here would take the bench's 4 small-K
+                            # ladder rows down with it)
+TORUS_SMALL_MAX_K = 8   # tori: at or below this, the folded kernel beats the
+                        # chunk-vectorized one — the chunk layout evaluates
+                        # the quartic on (chunk=8, rays) blocks no matter how
+                        # few rows are real (a single-torus scene pays 8x),
+                        # while this kernel runs K full-occupancy (8, tm)
+                        # evals, one per REAL torus
+TORUS_SMALL_TILE = 2048  # rays per grid step (8 sublane rows x 256 lanes)
+
+
+def _torus_small_kernel(par_ref, o_ref, d_ref, tmax_ref, *refs,
+                        k_real: int, emit_attrs: bool, occlusion: bool,
+                        newton_iters: int):
+    """Closest/any-hit vs <= TORUS_SMALL_MAX_K tori with rays on BOTH vreg
+    axes: a tile is (8 sublanes x tm lanes) = 8*tm rays, so every quartic
+    element is a real ray and the per-torus parameters enter as SMEM
+    scalars. The chunk kernel's layout (_torus_kernel) instead pins tori to
+    sublanes, which wastes (8 - K)/8 of every vector op on padding rows —
+    measured 3.9 ms per 2M-ray dispatch on a 1-torus scene where this
+    shape does 1/8 the math.
+
+    par_ref: (1, P) f32 SMEM — per torus 32 scalars
+    [w2o rows (12), Rmaj, rmin, box lo (3), box hi (3), mat (12)].
+    o_ref/d_ref: (24, tm) = 3 components x 8 sublane rows; tmax_ref: (8, tm).
+    Outputs: t (8, tm), idx (8, tm) i32 [+ attrs (120, tm) = 15 fields x 8
+    rows — callers reshape back to (15, N) with free row-major views].
+    """
+    if emit_attrs:
+        t_out, idx_out, attr_out = refs
+    else:
+        t_out, idx_out = refs
+        attr_out = None
+    tm = o_ref.shape[1]
+    shape = (8, tm)
+
+    t_out[...] = jnp.full(shape, BIG, F32)
+    idx_out[...] = jnp.zeros(shape, jnp.int32)
+    if emit_attrs:
+        attr_out[...] = jnp.zeros((120, tm), F32)
+
+    ox, oy, oz = o_ref[0:8, :], o_ref[8:16, :], o_ref[16:24, :]
+    dx, dy, dz = d_ref[0:8, :], d_ref[8:16, :], d_ref[16:24, :]
+    tms = tmax_ref[...]
+    invx, invy, invz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
+
+    def scal(k, i):
+        return par_ref[0, 32 * k + i]
+
+    # one whole-tile gate against the union of the K boxes (the chunk
+    # kernel's per-tile chunk-box gate, same granularity): dead tiles
+    # (tmax=0 bounce cull) and off-scene tiles skip everything
+    ulo = [scal(0, 14 + a) for a in range(3)]
+    uhi = [scal(0, 17 + a) for a in range(3)]
+    for k in range(1, k_real):
+        ulo = [jnp.minimum(ulo[a], scal(k, 14 + a)) for a in range(3)]
+        uhi = [jnp.maximum(uhi[a], scal(k, 17 + a)) for a in range(3)]
+    tn = jnp.maximum(jnp.maximum(
+        jnp.minimum((ulo[0] - ox) * invx, (uhi[0] - ox) * invx),
+        jnp.minimum((ulo[1] - oy) * invy, (uhi[1] - oy) * invy)),
+        jnp.minimum((ulo[2] - oz) * invz, (uhi[2] - oz) * invz))
+    tf = jnp.minimum(jnp.minimum(
+        jnp.maximum((ulo[0] - ox) * invx, (uhi[0] - ox) * invx),
+        jnp.maximum((ulo[1] - oy) * invy, (uhi[1] - oy) * invy)),
+        jnp.maximum((ulo[2] - oz) * invz, (uhi[2] - oz) * invz))
+    any_cand = (tn <= jnp.minimum(tf, tms)) & (tf >= TMIN) & (tms > TMIN)
+
+    @pl.when(jnp.any(any_cand))
+    def _go():
+        best = jnp.full(shape, BIG, F32)
+        barg = jnp.zeros(shape, jnp.int32)
+        nrm_acc = [jnp.zeros(shape, F32) for _ in range(3)]
+        mat_acc = [jnp.zeros(shape, F32) for _ in range(12)]
+
+        for k in range(k_real):
+            w = [scal(k, i) for i in range(12)]
+            rmaj, rmin = scal(k, 12), scal(k, 13)
+            blo = [scal(k, 14 + a) for a in range(3)]
+            bhi = [scal(k, 17 + a) for a in range(3)]
+
+            # per-torus slab against the running best (and any-hit early
+            # bound) — a vector mask, no branch
+            tnk = jnp.maximum(jnp.maximum(
+                jnp.minimum((blo[0] - ox) * invx, (bhi[0] - ox) * invx),
+                jnp.minimum((blo[1] - oy) * invy, (bhi[1] - oy) * invy)),
+                jnp.minimum((blo[2] - oz) * invz, (bhi[2] - oz) * invz))
+            tfk = jnp.minimum(jnp.minimum(
+                jnp.maximum((blo[0] - ox) * invx, (bhi[0] - ox) * invx),
+                jnp.maximum((blo[1] - oy) * invy, (bhi[1] - oy) * invy)),
+                jnp.maximum((blo[2] - oz) * invz, (bhi[2] - oz) * invz))
+            if occlusion:
+                bound = jnp.where(best < BIG, F32(-1.0), tms)
+            else:
+                bound = jnp.minimum(tms, best)
+            cand = (tnk <= jnp.minimum(tfk, bound)) & (tfk >= TMIN) \
+                & (tms > TMIN) & (rmin > 0.0)
+
+            oxo = w[0] * ox + w[1] * oy + w[2] * oz + w[3]
+            oyo = w[4] * ox + w[5] * oy + w[6] * oz + w[7]
+            ozo = w[8] * ox + w[9] * oy + w[10] * oz + w[11]
+            dxo = w[0] * dx + w[1] * dy + w[2] * dz
+            dyo = w[4] * dx + w[5] * dy + w[6] * dz
+            dzo = w[8] * dx + w[9] * dy + w[10] * dz
+
+            m = jnp.maximum(dxo * dxo + dyo * dyo + dzo * dzo, F32(1e-30))
+            tshift = -(oxo * dxo + oyo * dyo + ozo * dzo) / m
+            px = oxo + tshift * dxo
+            py = oyo + tshift * dyo
+            pz = ozo + tshift * dzo
+            od = px * dxo + py * dyo + pz * dzo
+            oo = px * px + py * py + pz * pz
+            R2 = rmaj * rmaj
+            kq = oo + R2 - rmin * rmin
+            dxz2 = dxo * dxo + dzo * dzo
+            oxz_dxz = px * dxo + pz * dzo
+            oxz2 = px * px + pz * pz
+            inv4 = F32(1.0) / (m * m)
+            b3 = 4.0 * m * od * inv4
+            b2 = (2.0 * m * kq + 4.0 * od * od - 4.0 * R2 * dxz2) * inv4
+            b1 = (4.0 * od * kq - 8.0 * R2 * oxz_dxz) * inv4
+            b0 = (kq * kq - 4.0 * R2 * oxz2) * inv4
+
+            troot = torus_geom.quartic_min_positive(
+                jnp, b3, b2, b1, b0, TMIN - tshift, tms - tshift,
+                newton_iters=newton_iters, extra_valid=cand, cubic="newton")
+            t = jnp.where(troot < BIG, troot + tshift, BIG)
+
+            if occlusion:
+                best = jnp.minimum(best, t)
+                continue
+            better = t < best
+            best = jnp.where(better, t, best)
+            barg = jnp.where(better, k, barg)
+            if emit_attrs:
+                hitm = better
+                ts = jnp.where(t < BIG, troot, 0.0)
+                pxh = px + ts * dxo
+                pyh = py + ts * dyo
+                pzh = pz + ts * dzo
+                xz = jnp.sqrt(jnp.maximum(pxh * pxh + pzh * pzh,
+                                          F32(1e-30)))
+                scale = F32(1.0) - rmaj / xz
+                nx, ny, nz = pxh * scale, pyh, pzh * scale
+                nwx = nx * w[0] + ny * w[4] + nz * w[8]
+                nwy = nx * w[1] + ny * w[5] + nz * w[9]
+                nwz = nx * w[2] + ny * w[6] + nz * w[10]
+                for a, nw in enumerate((nwx, nwy, nwz)):
+                    nrm_acc[a] = jnp.where(hitm, nw, nrm_acc[a])
+                for c in range(12):
+                    mat_acc[c] = jnp.where(hitm, scal(k, 20 + c),
+                                           mat_acc[c])
+
+        t_out[...] = best
+        if not occlusion:
+            idx_out[...] = barg
+            if emit_attrs:
+                for a in range(3):
+                    attr_out[8 * a:8 * (a + 1), :] = nrm_acc[a]
+                for c in range(12):
+                    attr_out[8 * (3 + c):8 * (4 + c), :] = mat_acc[c]
+
+
+def torus_closest_hit_small(origins, dirs, tmax, w2o, major, minor,
+                            mat_table=None, occlusion: bool = False):
+    """Launcher for _torus_small_kernel (K <= TORUS_SMALL_MAX_K tori).
+
+    Rays re-pack so each grid step sees 8 sublane rows x tm lanes of
+    CONSECUTIVE rays (one compact block-swizzled patch — the same cull
+    frustum quality as the chunk kernel's lane tiles): (3, N) ->
+    (3, G, 8, tm) -> transpose(0, 2, 1, 3) -> (24, G*tm). The transpose
+    moves ~24 MB per 2M rays once per dispatch (~0.1 ms), far below the
+    (8 - K)/8 quartic padding it eliminates."""
+    n = origins.shape[1]
+    K = major.shape[0]
+    tile = TORUS_SMALL_TILE
+    assert n % tile == 0 and K <= TORUS_SMALL_MAX_K, (n, K)
+    tm = tile // 8
+    G = n // tile
+    m = G * tm
+
+    def fold(a, rows):                     # (rows, N) -> (rows*8, m)
+        return a.reshape(rows, G, 8, tm).transpose(0, 2, 1, 3) \
+                .reshape(rows * 8, m)
+
+    o8 = fold(jnp.asarray(origins), 3)
+    d8 = fold(jnp.asarray(dirs), 3)
+    tm8 = fold(jnp.asarray(tmax).reshape(1, n), 1)
+
+    w2o_rows = jnp.asarray(w2o).reshape(K, 12)
+    rad = jnp.stack([jnp.asarray(major), jnp.asarray(minor)], axis=1)
+    tor_lo, tor_hi, _, _ = _torus_boxes(w2o_rows, rad, min(K, 8))
+    mat = (jnp.asarray(mat_table) if mat_table is not None
+           else jnp.zeros((K, 12), F32))
+    par = jnp.concatenate([w2o_rows, rad, tor_lo[:K], tor_hi[:K], mat],
+                          axis=1)                                 # (K, 32)
+    P = ((32 * K + 127) // 128) * 128
+    par = jnp.concatenate(
+        [par.reshape(1, 32 * K), jnp.zeros((1, P - 32 * K), F32)], axis=1)
+
+    emit_attrs = mat_table is not None
+    par_spec = pl.BlockSpec((1, P), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((24, tm), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    tmax_spec = pl.BlockSpec((8, tm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    out_specs = [tmax_spec, tmax_spec]
+    out_shape = [jax.ShapeDtypeStruct((8, m), F32),
+                 jax.ShapeDtypeStruct((8, m), jnp.int32)]
+    if emit_attrs:
+        out_specs.append(pl.BlockSpec((120, tm), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((120, m), F32))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _torus_small_kernel, k_real=K, emit_attrs=emit_attrs,
+            occlusion=occlusion,
+            newton_iters=TORUS_NEWTON_OCCL if occlusion else 3),
+        grid=(G,),
+        in_specs=[par_spec, ray_spec, ray_spec, tmax_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(par, o8, d8, tm8)
+
+    def unfold(a, rows):                   # (rows*8, m) -> (rows, N)
+        return a.reshape(rows, 8, G, tm).transpose(0, 2, 1, 3) \
+                .reshape(rows, n)
+
+    t = unfold(out[0], 1).reshape(n)
+    idx = unfold(out[1], 1).reshape(n)
+    res = (t, idx)
+    if emit_attrs:
+        attr120 = unfold(out[2], 15)       # (15, N)
+        res = res + (attr120,)
+    return res
+
 
 # Combined entry used by trace.intersect
 # ---------------------------------------------------------------------------
