@@ -49,12 +49,37 @@ def _scenario_rays(sc):
     return np.asarray(o), np.asarray(d)
 
 
+def _device_init_watchdog(timeout_s: float = 600.0):
+    """Fail fast (exit 1, no JSON line) when the tunneled TPU backend can't
+    be reached, instead of blocking forever in jax.devices(): a hung bench
+    would eat the whole round-end, and a fabricated zero would be recorded
+    as a real measurement."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+        ok.append(len(jax.devices()))
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not ok:
+        print(f"bench: device init did not complete within {timeout_s:.0f}s "
+              "(TPU tunnel unreachable?) — no measurement taken",
+              file=sys.stderr)
+        raise SystemExit(1)
+
+
 def main():
     backend = "pallas"
     if "--jnp" in sys.argv:
         backend = "jnp"
     frames = int(next((a.split("=")[1] for a in sys.argv
                        if a.startswith("--frames=")), HEADLINE_FRAMES))
+
+    _device_init_watchdog()
 
     import jax
 

@@ -313,3 +313,52 @@ def test_small_torus_kernel_matches_chunk_kernel():
     assert np.isfinite(nrm).all() and (np.abs(nrm).sum(axis=0) > 1e-6).all()
     widx = np.asarray(sm[1])[hit]
     np.testing.assert_allclose(attr[3, hit], widx * 12.0)
+
+
+def test_all_loose_scene_skips_tri_kernel():
+    """Plane-only triangle sets (the torus+plane ladder configs) compact
+    entirely into the loose tail: closest_hit_pallas must not launch a
+    triangle kernel at all, and the full render (attrs path) plus the
+    occlusion query must still match the jnp backend exactly."""
+    import jax.numpy as jnp
+
+    import toroidal_ray_tracing_tpu as trt
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.scene import build_scene, procedural
+    from toroidal_ray_tracing_tpu.trace.intersect import any_hit
+
+    scene = build_scene(procedural.scene_torus_plane(analytic=True))
+    assert scene.loose_tris == 2
+    n_cl = scene.cluster_lo.shape[0]
+    assert n_cl * scene.cluster_size == scene.triangles.woop_o.shape[2]
+    assert (scene.loose_tris + scene.cluster_size - 1) \
+        // scene.cluster_size == n_cl
+
+    calls = []
+    orig = tk.tri_closest_hit_pallas
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    tk.tri_closest_hit_pallas = spy
+    try:
+        cam = trt.PinholeCamera(eye=(7.0, 4.0, 7.0), center=(0.0, 0.3, 0.0))
+        st = trt.RenderSettings.default(max_depth=3)
+        a = np.asarray(trt.render(scene, cam, 96, 96, st,
+                                  backend="jnp")["image"])
+        b = np.asarray(trt.render(scene, cam, 96, 96, st,
+                                  backend="pallas")["image"])
+    finally:
+        tk.tri_closest_hit_pallas = orig
+    assert not calls, "triangle kernel launched for an all-loose scene"
+    err = np.abs(a - b).max(axis=-1)
+    assert int((err > 1e-3).sum()) <= 2, (err > 1e-3).sum()
+
+    from toroidal_ray_tracing_tpu.cameras import generate_rays
+    o_h, d_h = generate_rays(cam, 64, 32, st, xp=np)
+    o, d = jnp.asarray(o_h.T), jnp.asarray(d_h.T)
+    tmax = jnp.full((o.shape[1],), np.float32(50.0))
+    aj = np.asarray(any_hit(scene, o, d, tmax, backend="jnp"))
+    ap = np.asarray(any_hit(scene, o, d, tmax, backend="pallas"))
+    np.testing.assert_array_equal(aj, ap)

@@ -1757,10 +1757,10 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
         L = scene.loose_tris
         hoist = (L > 0 and n_cl * cs == T_local
                  and T_local == scene.triangles.woop_o.shape[2])
+        n_tail = (L + cs - 1) // cs if hoist else 0
         tri_tmax = tmax
         loose_attr = None
         if hoist:
-            n_tail = (L + cs - 1) // cs
             base = T_local - n_tail * cs
             lt, lidx, lu, lv = _loose_tri_hit(
                 origins, dirs, tmax, geom.woop_o, geom.woop_d, base, L)
@@ -1780,23 +1780,32 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
             else:
                 tri_tmax = jnp.minimum(tmax, lt)
 
-        stream = (T_local > TRI_STREAM_MIN and cs % 128 == 0
-                  and n_cl * cs == T_local)
-        launch = tri_closest_hit_stream if stream else tri_closest_hit_pallas
-        out = launch(
-            origins, dirs, tri_tmax, geom.woop_o, geom.woop_d, clo, chi, cs,
-            attr_tables=tables, occlusion=occlusion)
-        tt, ti, tu, tv = out[:4]
-        better = tt < t_best
-        if want_attrs:
-            tri_attr = out[4]                        # (21, Np)
-            if loose_attr is not None:
-                tri_attr = jnp.where(better[None, :], tri_attr, loose_attr)
-        t_best = jnp.where(better, tt, t_best)
-        kind = jnp.where(better, 0, kind)
-        prim = jnp.where(better, ti + geom.tri_offset, prim)
-        u = jnp.where(better, tu, u)
-        v = jnp.where(better, tv, v)
+        if hoist and n_tail == n_cl:
+            # the hoist covered every live triangle (plane-only scene):
+            # no triangle kernel launch at all — the dense XLA prepass IS
+            # the triangle pass
+            if want_attrs:
+                tri_attr = loose_attr
+        else:
+            stream = (T_local > TRI_STREAM_MIN and cs % 128 == 0
+                      and n_cl * cs == T_local)
+            launch = (tri_closest_hit_stream if stream
+                      else tri_closest_hit_pallas)
+            out = launch(
+                origins, dirs, tri_tmax, geom.woop_o, geom.woop_d, clo, chi,
+                cs, attr_tables=tables, occlusion=occlusion)
+            tt, ti, tu, tv = out[:4]
+            better = tt < t_best
+            if want_attrs:
+                tri_attr = out[4]                    # (21, Np)
+                if loose_attr is not None:
+                    tri_attr = jnp.where(better[None, :], tri_attr,
+                                         loose_attr)
+            t_best = jnp.where(better, tt, t_best)
+            kind = jnp.where(better, 0, kind)
+            prim = jnp.where(better, ti + geom.tri_offset, prim)
+            u = jnp.where(better, tu, u)
+            v = jnp.where(better, tv, v)
 
     if has_tori:
         if want_attrs:

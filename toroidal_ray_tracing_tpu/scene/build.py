@@ -87,20 +87,21 @@ def _split_loose_clusters(slots: np.ndarray, cluster_size: int):
     with <= LOOSE_MAX_PER_CLUSTER live rows (when the scene has denser ones)
     move to the END of the table, live rows first: the Pallas orchestrator
     brute-forces them in one dense XLA prepass (closest_hit_pallas) and never
-    dispatches their clusters. Returns (new_slots, n_loose)."""
+    dispatches their clusters. When EVERY live cluster is loose (a
+    plane-only scene — the ladder's torus+plane configs), the whole table
+    becomes the tail and the orchestrator skips the triangle kernel launch
+    outright. Returns (new_slots, n_loose)."""
     cs = cluster_size
     C = len(slots) // cs
-    if C < 2:
-        return slots, 0
     blocks = slots.reshape(C, cs)
     live = (blocks >= 0).sum(axis=1)
     loose = (live > 0) & (live <= LOOSE_MAX_PER_CLUSTER)
-    if not loose.any() or (~loose & (live > 0)).sum() == 0:
+    if not loose.any():
         return slots, 0
     loose_rows = blocks[loose][blocks[loose] >= 0]
     if not (1 <= len(loose_rows) <= LOOSE_TOTAL_MAX):
         return slots, 0
-    dense = blocks[~loose].reshape(-1)
+    dense = blocks[~loose & (live > 0)].reshape(-1)
     n_loose = len(loose_rows)
     tail = np.full(_round_up(n_loose, cs), -1, slots.dtype)
     tail[:n_loose] = loose_rows
