@@ -362,3 +362,37 @@ def test_all_loose_scene_skips_tri_kernel():
     aj = np.asarray(any_hit(scene, o, d, tmax, backend="jnp"))
     ap = np.asarray(any_hit(scene, o, d, tmax, backend="pallas"))
     np.testing.assert_array_equal(aj, ap)
+
+
+def test_mini_mesh_scene_full_render_gated(monkeypatch):
+    """Miniature config-6: a tessellated mesh torus (forced through the
+    GATED triangle path) over a loose-hoisted mirror ground plane, full
+    render with shadows + reflection vs the jnp backend — the mesh-scene
+    composition (gated kernel + hoist + torus-free) previously only ran on
+    real hardware."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.scene import procedural as proc
+    from toroidal_ray_tracing_tpu.scene.types import SceneDef
+    from toroidal_ray_tracing_tpu.utils import math3d
+
+    monkeypatch.setattr(tk, "TRI_GATE_MIN", 256)
+    sd = SceneDef()
+    sd.add_model(proc.torus_mesh(1.4, 0.5, seg_major=24, seg_minor=12,
+                                 material=proc.matte((0.8, 0.45, 0.15))),
+                 math3d.translation((0.0, 0.55, 0.0)))
+    sd.add_model(proc.plane(10.0, material=proc.mirror((0.6, 0.6, 0.6),
+                                                       (0.25, 0.25, 0.28))))
+    scene = build_scene(sd)
+    assert scene.loose_tris >= 2                 # the fat plane rows hoist
+    assert scene.triangles.count > 256           # mesh crosses the gate
+    assert scene.cluster_lo.shape[0] >= 3        # multi-cluster walk
+
+    cam = PinholeCamera(eye=(5.0, 3.0, 5.0), center=(0.0, 0.4, 0.0))
+    st = RenderSettings.default(max_depth=3)
+    a = np.asarray(render(scene, cam, 96, 96, st, backend="jnp")["image"])
+    b = np.asarray(render(scene, cam, 96, 96, st, backend="pallas")["image"])
+    err = np.abs(a - b).max(axis=-1)
+    n_bad = int((err > 1e-3).sum())
+    assert n_bad <= 4, f"{n_bad} pixels diverged"
