@@ -81,6 +81,9 @@ def main():
 
     _device_init_watchdog()
 
+    from toroidal_ray_tracing_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
+
     import jax
 
     from toroidal_ray_tracing_tpu.experiments.configs import (SCENARIOS,

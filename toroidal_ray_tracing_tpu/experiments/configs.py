@@ -197,6 +197,8 @@ def main(argv=None):
                     help="scan all frames inside one jit (sustained "
                          "throughput, no per-frame dispatch round trips)")
     args = ap.parse_args(argv)
+    from toroidal_ray_tracing_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     _, stats = run_scenario(args.run, args.backend, args.out, args.frames,
                             sequence=args.sequence)
     print(stats)

@@ -14,6 +14,7 @@ layer, and a commented-out per-power-state FPS logger
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 
 
@@ -68,3 +69,25 @@ def trace_to(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache for the benchmark/experiment CLIs.
+
+    Remote Mosaic compiles over the TPU tunnel take 2-6 minutes per new
+    kernel shape; the JAX persistent cache replays serialized executables
+    across processes when the backend supports it (silently a no-op when it
+    doesn't). Tests configure their own cache dir (tests/conftest.py) —
+    this helper is for bench.py / experiments CLIs only, so interactive
+    render() users keep JAX defaults."""
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_tpu_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax or read-only fs: run uncached
