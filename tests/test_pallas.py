@@ -396,3 +396,53 @@ def test_mini_mesh_scene_full_render_gated(monkeypatch):
     err = np.abs(a - b).max(axis=-1)
     n_bad = int((err > 1e-3).sum())
     assert n_bad <= 4, f"{n_bad} pixels diverged"
+
+
+def test_small_torus_kernel_edge_cases():
+    """Folded small-K kernel: odd K, dead rays (tmax=0), NaN directions
+    (toroidal eye==center raygen), and an exactly-one-tile batch must all
+    match the chunk-layout jnp reference (dead/NaN rays stay misses)."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.scene import procedural as proc
+    from toroidal_ray_tracing_tpu.scene.types import SceneDef, Torus
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+    from toroidal_ray_tracing_tpu.utils import math3d
+
+    sd = SceneDef()
+    for i, (R, r) in enumerate([(1.8, 0.5), (1.2, 0.4), (0.9, 0.3),
+                                (0.7, 0.25), (1.1, 0.33)]):   # K = 5 (odd)
+        sd.add_model(Torus(R, r, [proc.matte((0.5, 0.5, 0.5))]),
+                     math3d.translation((2.5 * (i - 2), 0.6, 1.3 * (i % 3))))
+    scene = build_scene(sd)
+    geom = isect.geom_from_scene(scene)
+    assert geom.tor_major.shape[0] == 5
+
+    n = tk.TORUS_SMALL_TILE                      # exactly one grid step
+    rng = np.random.default_rng(11)
+    o = np.asarray(rng.normal(size=(3, n)) * 6.0, np.float32)
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    tmax = np.full((n,), 1e4, np.float32)
+    tmax[::7] = 0.0                              # dead rays (bounce cull)
+    d[:, 5::13] = np.nan                         # eye==center raygen rows
+    o_j, d_j, tm_j = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax)
+
+    hj = isect._closest_hit_jnp(scene, geom, o_j, d_j, tm_j)
+    tj = np.minimum(np.asarray(hj.t), 1e4)
+    small = tk.torus_closest_hit_small(
+        o_j, d_j, tm_j, geom.tor_w2o, geom.tor_major, geom.tor_minor)
+    ts = np.minimum(np.asarray(small[0]), 1e4)
+    dead = (tmax == 0.0) | np.isnan(d[0])
+    assert (ts[dead] >= 1e4).all(), "dead/NaN rays must miss"
+    agree = np.isclose(ts, tj, rtol=1e-4, atol=1e-3)
+    assert (~agree).sum() <= max(4, n // 2000), (~agree).sum()
+
+    occ = tk.torus_closest_hit_small(
+        o_j, d_j, tm_j, geom.tor_w2o, geom.tor_major, geom.tor_minor,
+        occlusion=True)
+    oa = np.asarray(occ[0]) < 1e30
+    ja = tj < 1e4
+    assert (oa[~agree].size + (oa == ja)[agree].sum()) >= n - max(4, n // 2000)
+    assert not oa[dead].any()
