@@ -160,3 +160,42 @@ def test_point_light_falloff():
         img[h] = float(np.asarray(render(build_scene(sd), cam, 4, 4, st)
                                   ["image"])[2, 2, 0])
     assert img[10.0] / img[20.0] == pytest.approx(4.0, rel=0.02)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_scene_fuzz_parity(seed):
+    """Randomized mixed scenes (tori + mesh boxes + a plane, random
+    transforms/materials/light) vs the f64 oracle — a fuzz net over
+    primitive mixes and build-side layout decisions (cluster splits, loose
+    hoist, chunk padding) that the hand-picked SCENES table can miss."""
+    from toroidal_ray_tracing_tpu.scene.types import SceneDef, Torus
+    from toroidal_ray_tracing_tpu.utils import math3d
+
+    rng = np.random.default_rng(100 + seed)
+    sd = SceneDef()
+    for _ in range(int(rng.integers(1, 5))):                       # tori
+        R = float(rng.uniform(0.6, 1.8))
+        r = float(rng.uniform(0.15, 0.45)) * R
+        mat = (procedural.mirror() if rng.random() < 0.3 else
+               procedural.matte(tuple(rng.uniform(0.2, 0.9, 3))))
+        tr = math3d.compose(
+            math3d.translation(tuple(rng.uniform(-3, 3, 3) * (1, 0.3, 1)
+                                     + (0, R + 0.2, 0))),
+            math3d.rotation_x(float(rng.uniform(0, 90))))
+        sd.add_model(Torus(R, r, [mat]), tr)
+    for _ in range(int(rng.integers(0, 3))):                       # cubes
+        s = float(rng.uniform(0.5, 1.4))
+        sd.add_model(procedural.cube(
+            s, materials=[procedural.matte(tuple(rng.uniform(0.2, 0.9, 3)))]),
+            math3d.translation(tuple(rng.uniform(-3, 3, 3) * (1, 0, 1)
+                                     + (0, s / 2, 0))))
+    if rng.random() < 0.7:
+        sd.add_model(procedural.plane(10.0, material=procedural.matte(
+            tuple(rng.uniform(0.4, 0.8, 3)))))
+    st = RenderSettings.default(
+        max_depth=int(rng.integers(1, 4)),
+        light_position=tuple(rng.uniform(-8, 8, 3) * (1, 0, 1) + (0, 9, 0)),
+        light_intensity=float(rng.uniform(40, 120)))
+    cam = PinholeCamera(eye=tuple(rng.uniform(5, 9, 3) * (1, 0.6, 1)),
+                        center=(0.0, 0.5, 0.0))
+    assert_parity(sd, cam, st, rmse_bound=2e-2)
