@@ -162,8 +162,10 @@ def test_point_light_falloff():
     assert img[10.0] / img[20.0] == pytest.approx(4.0, rel=0.02)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_random_scene_fuzz_parity(seed):
+@pytest.mark.parametrize("seed,backend", [(0, "jnp"), (1, "jnp"),
+                                           (2, "jnp"), (0, "pallas"),
+                                           (2, "pallas")])
+def test_random_scene_fuzz_parity(seed, backend):
     """Randomized mixed scenes (tori + mesh boxes + a plane, random
     transforms/materials/light) vs the f64 oracle — a fuzz net over
     primitive mixes and build-side layout decisions (cluster splits, loose
@@ -198,4 +200,4 @@ def test_random_scene_fuzz_parity(seed):
         light_intensity=float(rng.uniform(40, 120)))
     cam = PinholeCamera(eye=tuple(rng.uniform(5, 9, 3) * (1, 0.6, 1)),
                         center=(0.0, 0.5, 0.0))
-    assert_parity(sd, cam, st, rmse_bound=2e-2)
+    assert_parity(sd, cam, st, rmse_bound=2e-2, backend=backend)
