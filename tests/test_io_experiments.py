@@ -215,3 +215,42 @@ class TestExperiments:
         assert SCENARIOS[4].max_depth == 5
         assert SCENARIOS[5].width == 3840 and SCENARIOS[5].spp > 1
         assert SCENARIOS[6].name.startswith("config6_mesh")
+
+
+def test_read_points_native_matches_python(tmp_path):
+    """The native trt_read_xyz fast path and the Python line loop implement
+    identical loadPoints semantics (3 floats per line; nan/-nan/short/junk
+    lines become float-lowest sentinel rows; final line may lack a
+    newline)."""
+    from toroidal_ray_tracing_tpu.io import dumps, native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib not built")
+
+    p = tmp_path / "pts.txt"
+    p.write_bytes(
+        b"1.5 -2.25 3e2\n"
+        b"-nan nan 1.0\n"
+        b"0.1 0.2\n"
+        b"junk line here\n"
+        b"\n"
+        b"7 8 9 extra tokens\n"
+        b"4.0 5.0 6.0")              # no trailing newline
+    nat = dumps.read_points(str(p))
+
+    rows = []
+    with open(p, "r") as f:
+        for line in f:
+            parts = line.split()
+            try:
+                vals = [float(parts[0]), float(parts[1]), float(parts[2])]
+                if not all(np.isfinite(v) for v in vals):
+                    raise ValueError
+            except (ValueError, IndexError):
+                vals = [dumps.FLOAT_LOWEST] * 3
+            rows.append(vals)
+    ref = np.asarray(rows, np.float32)
+
+    assert nat.shape == ref.shape == (7, 3)
+    np.testing.assert_array_equal(nat, ref)

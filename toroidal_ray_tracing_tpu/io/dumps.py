@@ -109,7 +109,25 @@ def write_ptcloud_image(root: str, scene_name: str, image) -> str:
 def read_points(path: str) -> np.ndarray:
     """`loadPoints` semantics (before_second/hello_vulkan.cpp:496-628): each
     line parses as three floats; `-nan` or any parse failure yields
-    `std::numeric_limits<float>::lowest()` sentinels for that line."""
+    `std::numeric_limits<float>::lowest()` sentinels for that line.
+
+    Uses the native reader (csrc trt_read_xyz, identical semantics — both
+    paths are covered by tests/test_io_experiments.py) when the library is
+    built: a 2M-line capture dump parses in ~0.1 s vs several seconds for
+    the Python line loop."""
+    from toroidal_ray_tracing_tpu.io import native  # noqa: PLC0415
+
+    if native.available():
+        n_lines = 0
+        last = b"\n"
+        with open(path, "rb") as f:
+            for buf in iter(lambda: f.read(1 << 20), b""):
+                n_lines += buf.count(b"\n")
+                last = buf[-1:]
+        if last != b"\n":
+            n_lines += 1  # final line without a trailing newline
+        return native.read_xyz(path, n_lines, FLOAT_LOWEST)
+
     rows = []
     with open(path, "r") as f:
         for line in f:
