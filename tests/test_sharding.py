@@ -165,3 +165,22 @@ def test_pallas_backend_sharded(setup, shape):
                          backend="pallas")
     rmse = float(np.sqrt(np.mean((np.asarray(out["image"]) - ref) ** 2)))
     assert rmse < 1e-6
+
+
+@needs_8
+@pytest.mark.parametrize("shape", [(4, 2), (1, 8)])
+def test_all_loose_scene_prim_sharded(shape):
+    """Torus+plane (all triangles in the loose tail on the full table):
+    prims-axis shards must still intersect the plane — pad_scene_for_mesh /
+    the shard-size guard disables the hoist on slices, so the tail clusters
+    keep real AABBs and the kernel tests them."""
+    sd = procedural.scene_torus_plane(analytic=True)
+    scene = build_scene(sd)
+    assert scene.loose_tris == 2
+    cam = PinholeCamera(eye=(7.0, 4.0, 7.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    ref = np.asarray(render(scene, cam, RES, RES, st)["image"])
+    assert ref.std() > 0.01  # plane + shadow actually visible
+    out = render_sharded(scene, cam, RES, RES, st, mesh=make_mesh(*shape))
+    rmse = float(np.sqrt(np.mean((np.asarray(out["image"]) - ref) ** 2)))
+    assert rmse < 1e-6, f"mesh {shape}: rmse {rmse}"
