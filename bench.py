@@ -57,18 +57,26 @@ def _device_init_watchdog(timeout_s: float = 600.0):
     import threading
 
     ok = []
+    err = []
 
     def probe():
-        import jax
-        ok.append(len(jax.devices()))
+        try:
+            import jax
+            ok.append(len(jax.devices()))
+        except BaseException as e:  # report, don't mislabel as a timeout
+            err.append(e)
 
     th = threading.Thread(target=probe, daemon=True)
     th.start()
     th.join(timeout_s)
     if not ok:
-        print(f"bench: device init did not complete within {timeout_s:.0f}s "
-              "(TPU tunnel unreachable?) — no measurement taken",
-              file=sys.stderr)
+        if err:
+            print(f"bench: device init failed: {type(err[0]).__name__}: "
+                  f"{err[0]} — no measurement taken", file=sys.stderr)
+        else:
+            print(f"bench: device init did not complete within "
+                  f"{timeout_s:.0f}s (TPU tunnel unreachable?) — no "
+                  "measurement taken", file=sys.stderr)
         raise SystemExit(1)
 
 

@@ -63,22 +63,61 @@ int trt_write_xyz(const char* path, const float* data, long n_rows) {
 // Lines with parse failures or non-finite values become `lowest` sentinels
 // (loadPoints semantics, before_second/hello_vulkan.cpp:542-549).
 // Returns number of rows parsed, or -1 on IO error.
+// One whitespace token from *p (never crossing the newline). Returns:
+// 0 = no token on this line; 1 = parsed (reference std::stof prefix
+// semantics; a token containing "-nan" yields `lowest`, matching
+// loadPoints, before_second/hello_vulkan.cpp:543-553); 2 = unparseable
+// token (std::stof would throw and crash the reference; we store
+// `lowest` for that component instead — the one deliberate deviation).
+static int parse_tok(const char** p, float lowest, float* v) {
+  const char* s = *p;
+  while (*s == ' ' || *s == '\t' || *s == '\r') ++s;
+  if (*s == '\0' || *s == '\n') { *p = s; return 0; }
+  const char* e = s;
+  while (*e && *e != ' ' && *e != '\t' && *e != '\r' && *e != '\n') ++e;
+  *p = e;
+  for (const char* q = s; q + 4 <= e; ++q) {
+    if (q[0] == '-' && q[1] == 'n' && q[2] == 'a' && q[3] == 'n') {
+      *v = lowest;
+      return 1;
+    }
+  }
+  char* endp = nullptr;
+  float val = std::strtof(s, &endp);
+  if (endp == s) { *v = lowest; return 2; }
+  *v = val;
+  return 1;
+}
+
 long trt_read_xyz(const char* path, float* out, long cap_rows, float lowest) {
+  // Replicates loadPoints (before_second/hello_vulkan.cpp:532-560):
+  // getline per row (no line-length cap: long lines parse from their
+  // first 512 bytes, then the remainder is consumed, keeping the row
+  // count = newline count); per-line `iss >> x >> y >> z` (< 3 tokens ->
+  // whole row = lowest); per-token "-nan" -> lowest, else stof prefix
+  // parse (keeps inf/+nan like the reference).
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   char line[512];
   long n = 0;
   while (n < cap_rows && std::fgets(line, sizeof(line), f)) {
-    float x, y, z;
-    int got = std::sscanf(line, "%f %f %f", &x, &y, &z);
-    if (got != 3 || !std::isfinite(x) || !std::isfinite(y) ||
-        !std::isfinite(z)) {
-      x = y = z = lowest;
+    float v[3];
+    const char* p = line;
+    int toks = 0;
+    for (int c = 0; c < 3; ++c) {
+      if (parse_tok(&p, lowest, &v[c]) == 0) break;
+      ++toks;
     }
-    out[3 * n] = x;
-    out[3 * n + 1] = y;
-    out[3 * n + 2] = z;
+    if (toks != 3) v[0] = v[1] = v[2] = lowest;
+    out[3 * n] = v[0];
+    out[3 * n + 1] = v[1];
+    out[3 * n + 2] = v[2];
     ++n;
+    // consume the rest of an over-long line so one row = one newline
+    if (!std::strchr(line, '\n')) {
+      int ch;
+      while ((ch = std::fgetc(f)) != EOF && ch != '\n') {}
+    }
   }
   std::fclose(f);
   return n;

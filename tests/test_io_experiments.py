@@ -217,40 +217,53 @@ class TestExperiments:
         assert SCENARIOS[6].name.startswith("config6_mesh")
 
 
-def test_read_points_native_matches_python(tmp_path):
-    """The native trt_read_xyz fast path and the Python line loop implement
-    identical loadPoints semantics (3 floats per line; nan/-nan/short/junk
-    lines become float-lowest sentinel rows; final line may lack a
-    newline)."""
+def test_read_points_reference_semantics(tmp_path):
+    """Both read_points paths (native trt_read_xyz and the Python
+    fallback) implement the reference's loadPoints parse exactly
+    (before_second/hello_vulkan.cpp:532-560): < 3 tokens -> whole row
+    lowest; per-token "-nan" -> lowest; std::stof prefix parsing keeps
+    inf/+nan and trailing garbage ("3.0abc" -> 3.0); rows = lines even for
+    over-long lines (no 512-byte truncation row splits)."""
     from toroidal_ray_tracing_tpu.io import dumps, native
 
-    if not native.available():
-        import pytest
-        pytest.skip("native lib not built")
-
+    LOW = dumps.FLOAT_LOWEST
     p = tmp_path / "pts.txt"
     p.write_bytes(
         b"1.5 -2.25 3e2\n"
-        b"-nan nan 1.0\n"
-        b"0.1 0.2\n"
-        b"junk line here\n"
-        b"\n"
+        b"-nan nan 1.0\n"                       # per-component: +nan kept
+        b"0.1 0.2\n"                            # short row
+        b"junk 1.0 2.0\n"                       # unparseable token
+        b"\n"                                   # empty row
         b"7 8 9 extra tokens\n"
-        b"4.0 5.0 6.0")              # no trailing newline
-    nat = dumps.read_points(str(p))
+        b"1.0 2.0 3.0abc\n"                     # stof prefix parse
+        b"inf -inf 4.5\n"                       # infinities kept
+        b"1 2 3 " + b"x" * 600 + b"\n"          # >512-byte line, one row
+        b"4.0 5.0 6.0")                         # no trailing newline
+    expect = np.array([
+        [1.5, -2.25, 300.0],
+        [LOW, np.nan, 1.0],
+        [LOW, LOW, LOW],
+        [LOW, 1.0, 2.0],
+        [LOW, LOW, LOW],
+        [7.0, 8.0, 9.0],
+        [1.0, 2.0, 3.0],
+        [np.inf, -np.inf, 4.5],
+        [1.0, 2.0, 3.0],
+        [4.0, 5.0, 6.0]], np.float32)
 
-    rows = []
-    with open(p, "r") as f:
-        for line in f:
-            parts = line.split()
-            try:
-                vals = [float(parts[0]), float(parts[1]), float(parts[2])]
-                if not all(np.isfinite(v) for v in vals):
-                    raise ValueError
-            except (ValueError, IndexError):
-                vals = [dumps.FLOAT_LOWEST] * 3
-            rows.append(vals)
-    ref = np.asarray(rows, np.float32)
-
-    assert nat.shape == ref.shape == (7, 3)
-    np.testing.assert_array_equal(nat, ref)
+    # exercise the Python fallback explicitly by hiding the native lib
+    orig = native.available
+    native.available = lambda: False
+    try:
+        got_py = dumps.read_points(str(p))
+    finally:
+        native.available = orig
+    results = {"python": got_py}
+    if native.available():
+        results["native"] = dumps.read_points(str(p))
+    for name, got in results.items():
+        assert got.shape == expect.shape, (name, got.shape)
+        np.testing.assert_array_equal(
+            np.isnan(got), np.isnan(expect), err_msg=name)
+        m = ~np.isnan(expect)
+        np.testing.assert_array_equal(got[m], expect[m], err_msg=name)

@@ -148,8 +148,11 @@ def main(argv=None):
                 [rng.uniform(size=(512, 512, 3)).astype(F32)])
             texture_pass.fake = types.SimpleNamespace(
                 textures=jax.tree.map(jnp.asarray, atlas))
-        uv = (o[:2] * F32(0.137) + d[:2]) % 1.0
-        lod = (tmax * 0 + jnp.abs(d[0]) * 6.0)
+        # perturb by the loop index (protocol: break CSE/hoisting — an
+        # i-independent body gets lifted out of the scan and under-reports
+        # by ~k, measured 30x on CPU)
+        uv = (o[:2] * F32(0.137) + d[:2] + i.astype(F32) * F32(0.0101)) % 1.0
+        lod = (tmax * 0 + jnp.abs(d[0] + i * F32(1e-6)) * 6.0)
         tid = jnp.zeros(o.shape[1], jnp.int32)
         c = _sample_texture(texture_pass.fake, tid, uv, lod)
         return jnp.sum(c[:, :8])

@@ -106,14 +106,35 @@ def write_ptcloud_image(root: str, scene_name: str, image) -> str:
     return path
 
 
-def read_points(path: str) -> np.ndarray:
-    """`loadPoints` semantics (before_second/hello_vulkan.cpp:496-628): each
-    line parses as three floats; `-nan` or any parse failure yields
-    `std::numeric_limits<float>::lowest()` sentinels for that line.
+_FLOAT_PREFIX = None  # compiled lazily (re import kept out of the hot path)
 
-    Uses the native reader (csrc trt_read_xyz, identical semantics — both
-    paths are covered by tests/test_io_experiments.py) when the library is
-    built: a 2M-line capture dump parses in ~0.1 s vs several seconds for
+
+def _stof_prefix(tok: str) -> float:
+    """std::stof semantics on one token: parse the longest leading float
+    (keeps inf / +nan like the reference); an unparseable token maps to
+    FLOAT_LOWEST (where the reference's stof would throw — the one
+    deliberate deviation, mirrored by csrc trt_read_xyz)."""
+    global _FLOAT_PREFIX
+    if _FLOAT_PREFIX is None:
+        import re
+        _FLOAT_PREFIX = re.compile(
+            r"[+-]?(?:inf(?:inity)?|nan|(?:\d+\.?\d*|\.\d+)"
+            r"(?:[eE][+-]?\d+)?)", re.IGNORECASE)
+    m = _FLOAT_PREFIX.match(tok)
+    return float(m.group(0)) if m else FLOAT_LOWEST
+
+
+def read_points(path: str) -> np.ndarray:
+    """`loadPoints` semantics (before_second/hello_vulkan.cpp:532-560):
+    one row per line; fewer than three whitespace tokens -> the whole row
+    becomes `std::numeric_limits<float>::lowest()`; per token, `-nan`
+    anywhere in the token -> lowest, otherwise `std::stof` prefix parsing
+    (so inf and bare nan pass through, exactly as the reference keeps
+    them).
+
+    Uses the native reader (csrc trt_read_xyz, identical semantics — the
+    parity is pinned by tests/test_io_experiments.py) when the library is
+    built: a 2M-line capture dump parses in ~0.5 s vs several seconds for
     the Python line loop."""
     from toroidal_ray_tracing_tpu.io import native  # noqa: PLC0415
 
@@ -132,13 +153,11 @@ def read_points(path: str) -> np.ndarray:
     with open(path, "r") as f:
         for line in f:
             parts = line.split()
-            try:
-                vals = [float(parts[0]), float(parts[1]), float(parts[2])]
-                if not all(np.isfinite(v) for v in vals):
-                    raise ValueError
-            except (ValueError, IndexError):
-                vals = [FLOAT_LOWEST] * 3
-            rows.append(vals)
+            if len(parts) < 3:
+                rows.append([FLOAT_LOWEST] * 3)
+                continue
+            rows.append([FLOAT_LOWEST if "-nan" in t else _stof_prefix(t)
+                         for t in parts[:3]])
     return np.asarray(rows, dtype=F32)
 
 

@@ -964,6 +964,66 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     return ids, bits, cnt
 
 
+def _w2o_rays(w, ox, oy, oz, dx, dy, dz):
+    """Affine object-frame ray transform (t-preserving), component-wise.
+    w: 12-sequence of row-major world-to-object entries — SMEM scalars
+    (small-K kernel) or (Kc, 1) column slices (chunk kernel); both
+    broadcast against the ray rows. Shared so the two torus-kernel
+    layouts can never drift numerically."""
+    oxo = w[0] * ox + w[1] * oy + w[2] * oz + w[3]
+    oyo = w[4] * ox + w[5] * oy + w[6] * oz + w[7]
+    ozo = w[8] * ox + w[9] * oy + w[10] * oz + w[11]
+    dxo = w[0] * dx + w[1] * dy + w[2] * dz
+    dyo = w[4] * dx + w[5] * dy + w[6] * dz
+    dzo = w[8] * dx + w[9] * dy + w[10] * dz
+    return oxo, oyo, ozo, dxo, dyo, dzo
+
+
+def _torus_quartic_coeffs(oxo, oyo, ozo, dxo, dyo, dzo, Rmaj, rmin):
+    """Monic quartic coefficients in the shifted frame (geom/torus.py
+    torus_coefficients, kept component-wise for Mosaic). Returns
+    (b3, b2, b1, b0, tshift, px, py, pz)."""
+    m = jnp.maximum(dxo * dxo + dyo * dyo + dzo * dzo, F32(1e-30))
+    tshift = -(oxo * dxo + oyo * dyo + ozo * dzo) / m
+    px = oxo + tshift * dxo
+    py = oyo + tshift * dyo
+    pz = ozo + tshift * dzo
+    od = px * dxo + py * dyo + pz * dzo
+    oo = px * px + py * py + pz * pz
+    R2 = Rmaj * Rmaj
+    k = oo + R2 - rmin * rmin
+    dxz2 = dxo * dxo + dzo * dzo
+    oxz_dxz = px * dxo + pz * dzo
+    oxz2 = px * px + pz * pz
+    inv4 = F32(1.0) / (m * m)
+    b3 = 4.0 * m * od * inv4
+    b2 = (2.0 * m * k + 4.0 * od * od - 4.0 * R2 * dxz2) * inv4
+    b1 = (4.0 * od * k - 8.0 * R2 * oxz_dxz) * inv4
+    b0 = (k * k - 4.0 * R2 * oxz2) * inv4
+    return b3, b2, b1, b0, tshift, px, py, pz
+
+
+def _torus_obj_normal(px, py, pz, dxo, dyo, dzo, troot, Rmaj, hitm):
+    """Object-space torus normal at p* + troot*d (geom/torus.py
+    torus_normal: p - R * normalize((x, 0, z)), inlined component-wise).
+    Misses are sanitized (BIG roots would produce 0*inf NaNs)."""
+    ts = jnp.where(hitm, troot, 0.0)
+    pxh = px + ts * dxo
+    pyh = py + ts * dyo
+    pzh = pz + ts * dzo
+    xz = jnp.sqrt(jnp.maximum(pxh * pxh + pzh * pzh, F32(1e-30)))
+    scale = F32(1.0) - Rmaj / xz
+    return pxh * scale, pyh, pzh * scale
+
+
+def _obj_normal_to_world(w, nx, ny, nz):
+    """World normal via the inverse-transpose: w2o's rotation rows applied
+    as columns. w: 12-sequence as in _w2o_rays."""
+    return (nx * w[0] + ny * w[4] + nz * w[8],
+            nx * w[1] + ny * w[5] + nz * w[9],
+            nx * w[2] + ny * w[6] + nz * w[10])
+
+
 def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
                   rad_ref, lo_ref, hi_ref, *refs, sub: int, chunk: int,
                   emit_attrs: bool, occlusion: bool = False,
@@ -1077,39 +1137,16 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
 
     def _quartic_eval(base, ls, col, cand, oxs, oys, ozs, dxs, dys, dzs,
                       tms):
-        # ray into each torus's object frame (affine, t-preserving)
-        oxo = col(0) * oxs + col(1) * oys + col(2) * ozs + col(3)
-        oyo = col(4) * oxs + col(5) * oys + col(6) * ozs + col(7)
-        ozo = col(8) * oxs + col(9) * oys + col(10) * ozs + col(11)
-        dxo = col(0) * dxs + col(1) * dys + col(2) * dzs
-        dyo = col(4) * dxs + col(5) * dys + col(6) * dzs
-        dzo = col(8) * dxs + col(9) * dys + col(10) * dzs
+        w12 = [col(i) for i in range(12)]
+        oxo, oyo, ozo, dxo, dyo, dzo = _w2o_rays(
+            w12, oxs, oys, ozs, dxs, dys, dzs)
 
         rad = rad_ref[pl.ds(base, chunk), :]        # (Kc, 2)
         Rmaj = rad[:, 0:1]
         rmin = rad[:, 1:2]
 
-        # quartic coefficients, component-wise
-        # (geom/torus.py torus_coefficients, kept 2D for Mosaic)
-        m = dxo * dxo + dyo * dyo + dzo * dzo
-        m = jnp.maximum(m, F32(1e-30))
-        tshift = -(oxo * dxo + oyo * dyo + ozo * dzo) / m
-        px = oxo + tshift * dxo
-        py = oyo + tshift * dyo
-        pz = ozo + tshift * dzo
-        od = px * dxo + py * dyo + pz * dzo
-        oo = px * px + py * py + pz * pz
-        R2 = Rmaj * Rmaj
-        k = oo + R2 - rmin * rmin
-        dxz2 = dxo * dxo + dzo * dzo
-        oxz_dxz = px * dxo + pz * dzo
-        oxz2 = px * px + pz * pz
-        inv4 = F32(1.0) / (m * m)
-        b3 = 4.0 * m * od * inv4
-        b2 = (2.0 * m * k + 4.0 * od * od - 4.0 * R2 * dxz2) * inv4
-        b1 = (4.0 * od * k - 8.0 * R2 * oxz_dxz) * inv4
-        b0 = (k * k - 4.0 * R2 * oxz2) * inv4
-
+        b3, b2, b1, b0, tshift, px, py, pz = _torus_quartic_coeffs(
+            oxo, oyo, ozo, dxo, dyo, dzo, Rmaj, rmin)
         troot = torus_geom.quartic_min_positive(
             jnp, b3, b2, b1, b0,
             TMIN - tshift, tms - tshift,
@@ -1134,21 +1171,9 @@ def _torus_kernel(visit_ref, o_ref, d_ref, tmax_ref, w2o_ref,
             hitm = t < BIG
             pick = (rows == arg) & hitm
             pickf = pick.astype(jnp.float32)
-            # object-space hit point (shifted frame: p* + troot * d)
-            ts = jnp.where(hitm, troot, 0.0)     # sanitize BIG (0*inf NaN)
-            pxh = px + ts * dxo
-            pyh = py + ts * dyo
-            pzh = pz + ts * dzo
-            # torus normal: p - R * normalize((x, 0, z))
-            # (geom/torus.py torus_normal, inlined component-wise)
-            xz = jnp.sqrt(jnp.maximum(pxh * pxh + pzh * pzh, F32(1e-30)))
-            scale = F32(1.0) - Rmaj / xz
-            nx, ny, nz = pxh * scale, pyh, pzh * scale
-            # world normal = inverse-transpose: rows of w2o's rotation
-            # applied as columns
-            nwx = nx * col(0) + ny * col(4) + nz * col(8)
-            nwy = nx * col(1) + ny * col(5) + nz * col(9)
-            nwz = nx * col(2) + ny * col(6) + nz * col(10)
+            nx, ny, nz = _torus_obj_normal(px, py, pz, dxo, dyo, dzo,
+                                           troot, Rmaj, hitm)
+            nwx, nwy, nwz = _obj_normal_to_world(w12, nx, ny, nz)
             nrm = jnp.concatenate([
                 jnp.sum(pickf * nwx, axis=0, keepdims=True),
                 jnp.sum(pickf * nwy, axis=0, keepdims=True),
@@ -1460,31 +1485,10 @@ def _torus_small_kernel(par_ref, o_ref, d_ref, tmax_ref, *refs,
             cand = (tnk <= jnp.minimum(tfk, bound)) & (tfk >= TMIN) \
                 & (tms > TMIN) & (rmin > 0.0)
 
-            oxo = w[0] * ox + w[1] * oy + w[2] * oz + w[3]
-            oyo = w[4] * ox + w[5] * oy + w[6] * oz + w[7]
-            ozo = w[8] * ox + w[9] * oy + w[10] * oz + w[11]
-            dxo = w[0] * dx + w[1] * dy + w[2] * dz
-            dyo = w[4] * dx + w[5] * dy + w[6] * dz
-            dzo = w[8] * dx + w[9] * dy + w[10] * dz
-
-            m = jnp.maximum(dxo * dxo + dyo * dyo + dzo * dzo, F32(1e-30))
-            tshift = -(oxo * dxo + oyo * dyo + ozo * dzo) / m
-            px = oxo + tshift * dxo
-            py = oyo + tshift * dyo
-            pz = ozo + tshift * dzo
-            od = px * dxo + py * dyo + pz * dzo
-            oo = px * px + py * py + pz * pz
-            R2 = rmaj * rmaj
-            kq = oo + R2 - rmin * rmin
-            dxz2 = dxo * dxo + dzo * dzo
-            oxz_dxz = px * dxo + pz * dzo
-            oxz2 = px * px + pz * pz
-            inv4 = F32(1.0) / (m * m)
-            b3 = 4.0 * m * od * inv4
-            b2 = (2.0 * m * kq + 4.0 * od * od - 4.0 * R2 * dxz2) * inv4
-            b1 = (4.0 * od * kq - 8.0 * R2 * oxz_dxz) * inv4
-            b0 = (kq * kq - 4.0 * R2 * oxz2) * inv4
-
+            oxo, oyo, ozo, dxo, dyo, dzo = _w2o_rays(
+                w, ox, oy, oz, dx, dy, dz)
+            b3, b2, b1, b0, tshift, px, py, pz = _torus_quartic_coeffs(
+                oxo, oyo, ozo, dxo, dyo, dzo, rmaj, rmin)
             troot = torus_geom.quartic_min_positive(
                 jnp, b3, b2, b1, b0, TMIN - tshift, tms - tshift,
                 newton_iters=newton_iters, extra_valid=cand, cubic="newton")
@@ -1498,17 +1502,9 @@ def _torus_small_kernel(par_ref, o_ref, d_ref, tmax_ref, *refs,
             barg = jnp.where(better, k, barg)
             if emit_attrs:
                 hitm = better
-                ts = jnp.where(t < BIG, troot, 0.0)
-                pxh = px + ts * dxo
-                pyh = py + ts * dyo
-                pzh = pz + ts * dzo
-                xz = jnp.sqrt(jnp.maximum(pxh * pxh + pzh * pzh,
-                                          F32(1e-30)))
-                scale = F32(1.0) - rmaj / xz
-                nx, ny, nz = pxh * scale, pyh, pzh * scale
-                nwx = nx * w[0] + ny * w[4] + nz * w[8]
-                nwy = nx * w[1] + ny * w[5] + nz * w[9]
-                nwz = nx * w[2] + ny * w[6] + nz * w[10]
+                nx, ny, nz = _torus_obj_normal(px, py, pz, dxo, dyo, dzo,
+                                               troot, rmaj, t < BIG)
+                nwx, nwy, nwz = _obj_normal_to_world(w, nx, ny, nz)
                 for a, nw in enumerate((nwx, nwy, nwz)):
                     nrm_acc[a] = jnp.where(hitm, nw, nrm_acc[a])
                 for c in range(12):
