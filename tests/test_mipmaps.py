@@ -59,6 +59,42 @@ def test_atlas_layout():
     assert tuple(sz[1, 0]) == (32, 32) and tuple(sz[1, 5]) == (1, 1)
 
 
+def test_quad_pack_matches_four_taps():
+    """The single-gather data4 path is bit-for-bit the 4-tap path: random
+    uvs/lods (incl. exact wrap edges) over a mixed-size multi-texture
+    atlas, both mip levels of the trilinear blend exercised."""
+    import jax.numpy as jnp
+    import types
+
+    from toroidal_ray_tracing_tpu.trace.shade import _sample_texture
+
+    rng = np.random.default_rng(11)
+    atlas = build_texture_atlas([
+        rng.uniform(size=(16, 64, 3)).astype(F32),     # non-square
+        checkerboard(32),
+        rng.uniform(size=(4, 4, 3)).astype(F32),
+    ])
+    scene = types.SimpleNamespace(textures=atlas)
+    n = 1024
+    uv = rng.uniform(size=(2, n)).astype(F32)
+    uv[:, :8] = np.array([[0.0, 1.0, 0.999999, 0.5, 0.0, 1.0, 0.25, 0.75],
+                          [0.0, 1.0, 0.5, 0.999999, 1.0, 0.0, 0.75, 0.25]],
+                         F32)
+    lod = rng.uniform(0.0, 7.0, size=n).astype(F32)  # past chain ends too
+    tid = rng.integers(0, 3, size=n).astype(np.int32)
+    q = np.asarray(_sample_texture(scene, jnp.asarray(tid), jnp.asarray(uv),
+                                   jnp.asarray(lod), quad=True))
+    t = np.asarray(_sample_texture(scene, jnp.asarray(tid), jnp.asarray(uv),
+                                   jnp.asarray(lod), quad=False))
+    np.testing.assert_array_equal(q, t)
+    # level-0 (lod=None) path too
+    q0 = np.asarray(_sample_texture(scene, jnp.asarray(tid),
+                                    jnp.asarray(uv), quad=True))
+    t0 = np.asarray(_sample_texture(scene, jnp.asarray(tid),
+                                    jnp.asarray(uv), quad=False))
+    np.testing.assert_array_equal(q0, t0)
+
+
 def _ground_truth(scene, cam, res, st):
     """Supersampled level-0 oracle: 4x resolution, box-downsampled."""
     hi = render_oracle(scene, cam, res * 4, res * 4,

@@ -132,33 +132,43 @@ def main(argv=None):
         hp, L, stmax = _shadow_rays(o, dd)
         return jnp.sum(hp[0, :8]) + jnp.sum(stmax[:8])
 
-    def texture_pass(i, o, d, tmax):
-        # trilinear mipmapped sampling cost in isolation (the known
-        # gather-based cliff, CLAUDE.md): n random uvs + lods against a
-        # 512x512 mip chain — scene-independent, measured here so a future
-        # packed-texel redesign has a baseline to beat
-        import types
+    # trilinear mipmapped sampling cost in isolation (the known
+    # gather-based cliff, CLAUDE.md): n random uvs + lods against a
+    # 512x512 mip chain — scene-independent. Built OUTSIDE the traced
+    # bodies (arrays created inside a scan trace leak as tracers into the
+    # next timed_scan). Two rows A/B the single-gather quad-pack path
+    # against the pre-pack 4-tap control.
+    import types
 
-        from toroidal_ray_tracing_tpu.scene.build import build_texture_atlas
-        from toroidal_ray_tracing_tpu.trace.shade import _sample_texture
+    from toroidal_ray_tracing_tpu.scene.build import build_texture_atlas
+    from toroidal_ray_tracing_tpu.trace.shade import _sample_texture
 
-        if not hasattr(texture_pass, "fake"):
-            rng = np.random.default_rng(5)
-            atlas = build_texture_atlas(
-                [rng.uniform(size=(512, 512, 3)).astype(F32)])
-            texture_pass.fake = types.SimpleNamespace(
-                textures=jax.tree.map(jnp.asarray, atlas))
-        # perturb by the loop index (protocol: break CSE/hoisting — an
-        # i-independent body gets lifted out of the scan and under-reports
-        # by ~k, measured 30x on CPU)
-        uv = (o[:2] * F32(0.137) + d[:2] + i.astype(F32) * F32(0.0101)) % 1.0
-        lod = (tmax * 0 + jnp.abs(d[0] + i * F32(1e-6)) * 6.0)
-        tid = jnp.zeros(o.shape[1], jnp.int32)
-        c = _sample_texture(texture_pass.fake, tid, uv, lod)
-        return jnp.sum(c[:, :8])
+    _rng = np.random.default_rng(5)
+    tex_fake = types.SimpleNamespace(textures=jax.tree.map(
+        jnp.asarray,
+        build_texture_atlas([_rng.uniform(size=(512, 512, 3)).astype(F32)])))
+
+    def _texture_pass(quad):
+        def body(i, o, d, tmax):
+            # perturb by the loop index (protocol: break CSE/hoisting — an
+            # i-independent body gets lifted out of the scan and
+            # under-reports by ~k, measured 30x on CPU)
+            uv = (o[:2] * F32(0.137) + d[:2]
+                  + i.astype(F32) * F32(0.0101)) % 1.0
+            lod = (tmax * 0 + jnp.abs(d[0] + i * F32(1e-6)) * 6.0)
+            tid = jnp.zeros(o.shape[1], jnp.int32)
+            c = _sample_texture(tex_fake, tid, uv, lod, quad=quad)
+            return jnp.sum(c[:, :8])
+        return body
+
+    texture_pass = _texture_pass(True)
+    texture_pass_taps = _texture_pass(False)
 
     rows = [
-        ("texture sample (512^2)", timed_scan(texture_pass, k, o, d, tmax)),
+        ("texture sample (quad-pack)", timed_scan(texture_pass, k, o, d,
+                                                  tmax)),
+        ("texture sample (4-tap)", timed_scan(texture_pass_taps, k, o, d,
+                                              tmax)),
         ("tri kernel", timed_scan(tri_pass, k, o, d, tmax)),
         ("torus kernel", timed_scan(tor_pass, k, o, d, tmax)),
         ("hit (tri+torus+attrs)", timed_scan(full_hit, k, o, d, tmax)),

@@ -247,6 +247,18 @@ def _mip_chain(img: np.ndarray) -> "list[np.ndarray]":
     return levels
 
 
+def _quad_pack(m: np.ndarray) -> np.ndarray:
+    """(h, w, 3) level -> (h*w, 12) rows of wrap-addressed 2x2 quads
+    (TextureAtlas.data4): one row-gather then fetches all four bilinear
+    taps."""
+    return np.concatenate(
+        [m,
+         np.roll(m, -1, axis=1),
+         np.roll(m, -1, axis=0),
+         np.roll(np.roll(m, -1, axis=0), -1, axis=1)],
+        axis=-1).reshape(-1, 12)
+
+
 def build_texture_atlas(textures: list) -> TextureAtlas:
     """Pack textures + mip chains into a flat texel buffer (TextureAtlas)."""
     if not textures:
@@ -256,6 +268,7 @@ def build_texture_atlas(textures: list) -> TextureAtlas:
             offsets=np.zeros((1, 1), I32),
             sizes=np.ones((1, 1, 2), I32),
             n_levels=np.ones((1,), I32),
+            data4=np.ones((1, 12), F32),
         )
     chains = [_mip_chain(t) for t in textures]
     L = max(len(c) for c in chains)
@@ -263,12 +276,14 @@ def build_texture_atlas(textures: list) -> TextureAtlas:
     offsets = np.zeros((n, L), I32)
     sizes = np.ones((n, L, 2), I32)
     blocks = []
+    quads = []
     cursor = 0
     for i, chain in enumerate(chains):
         for lv in range(L):
             m = chain[min(lv, len(chain) - 1)]
             if lv < len(chain):
                 blocks.append(m.reshape(-1, 3))
+                quads.append(_quad_pack(m))
                 offsets[i, lv] = cursor
                 cursor += m.shape[0] * m.shape[1]
             else:  # clamp: duplicate the last level's offset
@@ -279,6 +294,7 @@ def build_texture_atlas(textures: list) -> TextureAtlas:
         offsets=offsets,
         sizes=sizes,
         n_levels=np.asarray([len(c) for c in chains], I32),
+        data4=np.concatenate(quads, axis=0).astype(F32),
     )
 
 

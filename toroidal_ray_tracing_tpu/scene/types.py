@@ -276,12 +276,21 @@ class TextureAtlas(NamedTuple):
     Level l of texture i occupies rows `offsets[i, l] : offsets[i, l] +
     h*w` of `data`, row-major, with (h, w) = sizes[i, l]. Entries beyond
     n_levels[i] duplicate the last level (so LOD clamping needs no
-    branches)."""
+    branches).
+
+    `data4` is the same buffer quad-packed for single-gather bilinear
+    filtering: row t holds the 2x2 texel neighbourhood whose top-left
+    corner is texel t — [c(y,x), c(y,x+1), c(y+1,x), c(y+1,x+1)] with
+    repeat (wrap) addressing baked in at pack time. XLA row-gathers cost
+    ~1 row/cycle regardless of row width, so one (N, 12) gather replaces
+    four (N, 3) gathers per mip level (4x fewer gathered rows on the
+    texture hot path), at 4x atlas HBM."""
 
     data: Any      # (total_texels, 3) f32
     offsets: Any   # (n_tex, L) i32
     sizes: Any     # (n_tex, L, 2) i32 — (height, width) per level
     n_levels: Any  # (n_tex,) i32
+    data4: Any     # (total_texels, 12) f32 — wrap-packed 2x2 quads
 
 
 @struct.dataclass

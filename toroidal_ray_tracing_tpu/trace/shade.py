@@ -17,6 +17,7 @@ transpose (frames transpose once at the output boundary).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Any
 
 import jax
@@ -61,9 +62,19 @@ def mip_lod(xp, t, pixel_spread, tex_density, level0_max_dim):
     return xp.log2(xp.maximum(texels, F32(1e-20)))
 
 
-def _bilinear_level(scene: Scene, tex_id, level, uv):
+# One quad-packed (N, 12) gather per mip level instead of four (N, 3)
+# gathers: XLA row-gathers cost ~1 row/cycle independent of row width, so
+# this is 4x fewer gathered rows on the texture hot path (the known
+# gather cliff, ~8 ms per 2M-ray gather). Flip to "0" to A/B the 4-tap
+# path on hardware.
+TEX_QUAD_GATHER = os.environ.get("TRT_TEX_QUAD", "1") == "1"
+
+
+def _bilinear_level(scene: Scene, tex_id, level, uv, quad=None):
     """Bilinear, repeat addressing, at one mip level of the flat atlas.
-    uv: (2, N) rows; returns (3, N)."""
+    uv: (2, N) rows; returns (3, N). quad overrides TEX_QUAD_GATHER
+    (microbench A/B)."""
+    quad = TEX_QUAD_GATHER if quad is None else quad
     atlas = scene.textures
     off = atlas.offsets[tex_id, level]
     hs = atlas.sizes[tex_id, level, 0]
@@ -74,6 +85,17 @@ def _bilinear_level(scene: Scene, tex_id, level, uv):
     y0 = jnp.floor(y)
     fx = (x - x0)[None, :]
     fy = (y - y0)[None, :]
+
+    if quad:
+        # data4 rows carry the full 2x2 wrap-addressed neighbourhood of
+        # the top-left tap — one gather fetches all four corners.
+        xi = jnp.mod(x0.astype(jnp.int32), ws)
+        yi = jnp.mod(y0.astype(jnp.int32), hs)
+        q = atlas.data4[off + yi * ws + xi].T          # (12, N)
+        return (q[0:3] * (1 - fx) * (1 - fy)
+                + q[3:6] * fx * (1 - fy)
+                + q[6:9] * (1 - fx) * fy
+                + q[9:12] * fx * fy)
 
     def tap(xi, yi):
         xi = jnp.mod(xi.astype(jnp.int32), ws)
@@ -86,20 +108,21 @@ def _bilinear_level(scene: Scene, tex_id, level, uv):
             + tap(x0 + 1, y0 + 1) * fx * fy)
 
 
-def _sample_texture(scene: Scene, tex_id, uv, lod=None):
+def _sample_texture(scene: Scene, tex_id, uv, lod=None, quad=None):
     """Trilinear mipmapped sampling — replaces the reference's mipmapped
     `texture(textureSamplers[...])` (raytrace.rchit:83; sampler with a full
     mip chain, hello_vulkan.cpp:315-339). lod=None samples level 0.
     uv: (2, N); returns (3, N)."""
     if lod is None:
-        return _bilinear_level(scene, tex_id, jnp.zeros_like(tex_id), uv)
+        return _bilinear_level(scene, tex_id, jnp.zeros_like(tex_id), uv,
+                               quad)
     nl = scene.textures.n_levels[tex_id]
     l = jnp.clip(lod, 0.0, (nl - 1).astype(F32))
     l0 = jnp.floor(l).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, nl - 1)
     f = (l - l0.astype(F32))[None, :]
-    c0 = _bilinear_level(scene, tex_id, l0, uv)
-    c1 = _bilinear_level(scene, tex_id, l1, uv)
+    c0 = _bilinear_level(scene, tex_id, l0, uv, quad)
+    c1 = _bilinear_level(scene, tex_id, l1, uv, quad)
     return c0 * (1 - f) + c1 * f
 
 
