@@ -36,6 +36,11 @@ CASES = {
         PinholeCamera(eye=(7.0, 4.0, 7.0), center=(0.0, 0.5, 0.0)),
         RenderSettings.default(max_depth=1, light_position=(6.0, 10.0, 2.0)),
     ),
+    "textured_mesh": (
+        procedural.scene_textured_mesh,
+        PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0)),
+        RenderSettings.default(max_depth=3),
+    ),
 }
 
 

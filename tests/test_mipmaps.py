@@ -131,6 +131,19 @@ def test_minification_antialiasing(backend):
     assert em < 0.12, f"mipped error {em}"
 
 
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_textured_scenario_matches_oracle(backend):
+    """The config-7 ladder scene (textured mesh torus + mirror + tiled
+    floor) vs the oracle, through both backends."""
+    scene = build_scene(procedural.scene_textured_mesh())
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=3)
+    o = render_oracle(scene, cam, 64, 64, st)["image"]
+    d = np.asarray(render(scene, cam, 64, 64, st, backend=backend)["image"])
+    rmse = float(np.sqrt(((d - o) ** 2).mean()))
+    assert rmse < 1e-3, rmse
+
+
 def test_mipped_render_matches_oracle():
     """TPU path vs oracle with the SAME lod math: tight parity."""
     res = 32

@@ -231,3 +231,17 @@ def test_compaction_buckets_mosaic_parity():
     n_bad = int((err > 1e-3).sum())
     assert n_bad <= max(8, err.size // 1000), (
         f"{n_bad} pixels diverged (expected only isolated tangency flips)")
+
+
+@needs_tpu
+def test_textured_scene_mosaic_parity(renderers):
+    """Config-7 textured workload on hardware: the quad-packed (N, 12)
+    atlas gather (shade.TEX_QUAD_GATHER) through the full pallas frame —
+    trilinear sampling is XLA, not Mosaic, but its gather layout only
+    exists on the real backend."""
+    pair, procedural = renderers
+    a, b = pair(procedural.scene_textured_mesh())
+    err = np.abs(a - b).max(axis=-1)
+    n_bad = int((err > 1e-3).sum())
+    assert n_bad <= max(8, err.size // 1000), (
+        f"{n_bad} pixels diverged (expected only isolated edge flips)")

@@ -11,6 +11,9 @@ Scenarios (BASELINE.json "configs"):
   3. multi-torus with specular reflections, 3 bounces, 1080p
   4. instanced torus grid (~1k), TLAS-style culling, 1080p, 5 bounces
   5. 4K animated camera fly-through, jittered AA (sustained throughput)
+Extensions beyond the BASELINE five:
+  6. tessellated-mesh multi-torus (23k tris) — the triangle-kernel row
+  7. textured mesh scene — the trilinear-mip-sampling row
 """
 
 from __future__ import annotations
@@ -107,6 +110,15 @@ SCENARIOS = {
     # visit-list triangle traversal
     6: Scenario("config6_mesh_torus",
                 lambda: procedural.scene_multi_torus(analytic=False),
+                1920, 1080, 3,
+                camera=PinholeCamera(eye=(8.0, 5.0, 8.0),
+                                     center=(0.0, 0.5, 0.0))),
+    # extension: textured workload — every primary hit samples the mip
+    # atlas (the reference's OBJ models are all textured via map_Kd;
+    # raytrace.rchit:79-84), tracking the trilinear-sampling hot path the
+    # untextured rows never touch
+    7: Scenario("config7_textured",
+                procedural.scene_textured_mesh,
                 1920, 1080, 3,
                 camera=PinholeCamera(eye=(8.0, 5.0, 8.0),
                                      center=(0.0, 0.5, 0.0))),

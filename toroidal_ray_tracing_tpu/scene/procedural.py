@@ -206,6 +206,39 @@ def scene_instanced_torus_grid(n: int = 1024, analytic: bool = True,
     return s
 
 
+def checker_texture(n: int = 128, cells: int = 16,
+                    c0=(0.2, 0.25, 0.35), c1=(0.92, 0.87, 0.78)) -> np.ndarray:
+    """(n, n, 3) f32 two-colour checkerboard — procedural stand-in for the
+    nvpro media textures the reference's OBJ materials reference via map_Kd."""
+    y, x = np.mgrid[0:n, 0:n]
+    m = (((x * cells // n) + (y * cells // n)) % 2).astype(F32)[..., None]
+    return (np.asarray(c0, F32) * (1.0 - m) + np.asarray(c1, F32) * m)
+
+
+def scene_textured_mesh() -> SceneDef:
+    """Config 7: textured triangle workload — every primary hit samples the
+    mip atlas (the reference's OBJ models are all textured via map_Kd, e.g.
+    media/scenes/Medieval_building.mtl; sampling at raytrace.rchit:79-84).
+    A textured tessellated torus over a 20x-tiled checkered floor, with one
+    mirror torus so bounce rays hit textured geometry too."""
+    s = SceneDef()
+    tor = torus_mesh(1.6, 0.5, material=matte((1.0, 1.0, 1.0), illum=1,
+                                              specular=(0.0, 0.0, 0.0),
+                                              texture_id=0))
+    tor.textures = [checker_texture(256, 32)]
+    s.add_model(tor, math3d.translation((-1.8, 0.6, 0.6)))
+    s.add_model(Torus(1.0, 0.35, [mirror()]),
+                math3d.translation((2.2, 0.5, -0.8)))
+    floor = plane(14.0, material=matte((1.0, 1.0, 1.0), illum=1,
+                                       specular=(0.0, 0.0, 0.0),
+                                       texture_id=0))
+    floor.uvs = floor.uvs * 20.0
+    floor.textures = [checker_texture(128, 8, (0.45, 0.42, 0.4),
+                                      (0.75, 0.73, 0.7))]
+    s.add_model(floor)
+    return s
+
+
 def scene_cornellish() -> SceneDef:
     """Reference-style triangle scene: multi-material cube subject + plane +
     sphere + mirror cube (stands in for the nvpro media scene at
