@@ -38,6 +38,7 @@ raytrace.rchit:98).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1384,12 +1385,12 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
 # Small-K torus kernel: rays fold onto SUBLANES
 # ---------------------------------------------------------------------------
 
-TORUS_SMALL_ENABLE = False  # dispatch gate for the folded kernel: parity-
-                            # verified in interpret mode (tests) but NOT yet
-                            # compiled by Mosaic on hardware — flip to True
-                            # only after the TPU smoke run passes (a compile
-                            # failure here would take the bench's 4 small-K
-                            # ladder rows down with it)
+# Dispatch gate for the folded kernel: parity-verified in interpret mode
+# (tests) but NOT yet compiled by Mosaic on hardware — flip the default to
+# True only after the TPU smoke run passes (a compile failure here would
+# take the bench's 4 small-K ladder rows down with it). TRT_TORUS_SMALL=1
+# overrides for hardware A/B without a source edit.
+TORUS_SMALL_ENABLE = os.environ.get("TRT_TORUS_SMALL", "0") == "1"
 TORUS_SMALL_MAX_K = 8   # tori: at or below this, the folded kernel beats the
                         # chunk-vectorized one — the chunk layout evaluates
                         # the quartic on (chunk=8, rays) blocks no matter how
