@@ -184,3 +184,20 @@ def test_all_loose_scene_prim_sharded(shape):
     out = render_sharded(scene, cam, RES, RES, st, mesh=make_mesh(*shape))
     rmse = float(np.sqrt(np.mean((np.asarray(out["image"]) - ref) ** 2)))
     assert rmse < 1e-6, f"mesh {shape}: rmse {rmse}"
+
+
+@needs_8
+@pytest.mark.parametrize("shape", [(4, 2), (1, 8)])
+def test_textured_scene_prim_sharded(shape):
+    """Config-7 textured scene across prims shards: the texture atlas
+    (data + quad-packed data4) is replicated while triangles shard, so
+    per-shard texture_id indirection must survive pad_scene_for_mesh."""
+    sd = procedural.scene_textured_mesh()
+    scene = build_scene(sd)
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    ref = np.asarray(render(scene, cam, RES, RES, st)["image"])
+    assert ref.std() > 0.01
+    out = render_sharded(scene, cam, RES, RES, st, mesh=make_mesh(*shape))
+    rmse = float(np.sqrt(np.mean((np.asarray(out["image"]) - ref) ** 2)))
+    assert rmse < 1e-6, f"mesh {shape}: rmse {rmse}"
