@@ -19,10 +19,8 @@ F32 = np.float32
 
 
 def checkerboard(n=64, cells=16):
-    y, x = np.mgrid[0:n, 0:n]
-    c = (((x * cells // n) + (y * cells // n)) % 2).astype(F32)
-    img = np.stack([c, c, c], axis=-1)
-    return 0.15 + 0.85 * img  # dark/light checker
+    # dark/light grayscale checker via the library generator
+    return procedural.checker_texture(n, cells, (0.15,) * 3, (1.0,) * 3)
 
 
 def textured_floor_scene():

@@ -264,7 +264,6 @@ def build_texture_atlas(textures: list) -> TextureAtlas:
     if not textures:
         # dummy white texel (hello_vulkan.cpp:292-309)
         return TextureAtlas(
-            data=np.ones((1, 3), F32),
             offsets=np.zeros((1, 1), I32),
             sizes=np.ones((1, 1, 2), I32),
             n_levels=np.ones((1,), I32),
@@ -275,14 +274,12 @@ def build_texture_atlas(textures: list) -> TextureAtlas:
     n = len(chains)
     offsets = np.zeros((n, L), I32)
     sizes = np.ones((n, L, 2), I32)
-    blocks = []
     quads = []
     cursor = 0
     for i, chain in enumerate(chains):
         for lv in range(L):
             m = chain[min(lv, len(chain) - 1)]
             if lv < len(chain):
-                blocks.append(m.reshape(-1, 3))
                 quads.append(_quad_pack(m))
                 offsets[i, lv] = cursor
                 cursor += m.shape[0] * m.shape[1]
@@ -290,7 +287,6 @@ def build_texture_atlas(textures: list) -> TextureAtlas:
                 offsets[i, lv] = offsets[i, lv - 1]
             sizes[i, lv] = (m.shape[0], m.shape[1])
     return TextureAtlas(
-        data=np.concatenate(blocks, axis=0).astype(F32),
         offsets=offsets,
         sizes=sizes,
         n_levels=np.asarray([len(c) for c in chains], I32),

@@ -278,19 +278,25 @@ class TextureAtlas(NamedTuple):
     n_levels[i] duplicate the last level (so LOD clamping needs no
     branches).
 
-    `data4` is the same buffer quad-packed for single-gather bilinear
+    Texels are stored quad-packed (`data4`) for single-gather bilinear
     filtering: row t holds the 2x2 texel neighbourhood whose top-left
     corner is texel t — [c(y,x), c(y,x+1), c(y+1,x), c(y+1,x+1)] with
     repeat (wrap) addressing baked in at pack time. XLA row-gathers cost
     ~1 row/cycle regardless of row width, so one (N, 12) gather replaces
     four (N, 3) gathers per mip level (4x fewer gathered rows on the
-    texture hot path), at 4x atlas HBM."""
+    texture hot path), at 4x atlas HBM. The plain texel table is the
+    `data` view (columns 0:3 = the top-left tap) — a host-side numpy view
+    / an XLA slice, not a second stored buffer."""
 
-    data: Any      # (total_texels, 3) f32
     offsets: Any   # (n_tex, L) i32
     sizes: Any     # (n_tex, L, 2) i32 — (height, width) per level
     n_levels: Any  # (n_tex,) i32
     data4: Any     # (total_texels, 12) f32 — wrap-packed 2x2 quads
+
+    @property
+    def data(self):
+        """(total_texels, 3) texel table view (row-major per level)."""
+        return self.data4[..., 0:3]
 
 
 @struct.dataclass
