@@ -218,6 +218,26 @@ class TestExperiments:
         assert SCENARIOS[6].name.startswith("config6_mesh")
         assert SCENARIOS[7].name.startswith("config7_textured")
 
+    def test_scenario_raster_mode(self, tmp_path):
+        """--raster = the reference UI's 'use raster' checkbox: same
+        scenario through the z-buffered raster pipeline, PNG out."""
+        import dataclasses
+
+        from toroidal_ray_tracing_tpu.experiments import configs
+
+        sc = dataclasses.replace(configs.SCENARIOS[7], width=64, height=36)
+        orig = configs.SCENARIOS[7]
+        configs.SCENARIOS[7] = sc
+        try:
+            out, stats = configs.run_scenario(7, out_dir=str(tmp_path),
+                                              raster=True)
+        finally:
+            configs.SCENARIOS[7] = orig
+        assert stats["protocol"] == "raster"
+        img = np.asarray(out["image"])
+        assert img.shape == (36, 64, 3) and img.std() > 0.01
+        assert (tmp_path / "config7_textured_raster.png").exists()
+
 
 def test_read_points_reference_semantics(tmp_path):
     """Both read_points paths (native trt_read_xyz and the Python

@@ -126,11 +126,29 @@ SCENARIOS = {
 
 
 def run_scenario(num: int, backend: str = "jnp", out_dir: str | None = None,
-                 frames: int | None = None, sequence: bool = False):
+                 frames: int | None = None, sequence: bool = False,
+                 raster: bool = False):
     sc = SCENARIOS[num]
     scene = sc.build()
     st = sc.settings()
     n_frames = frames if frames is not None else max(sc.animate_frames, 1)
+
+    if raster:
+        # the reference UI's "use raster" checkbox (main.cpp renderUI /
+        # m_useRaytracer): same scene + camera through the z-buffered
+        # raster pipeline instead of the ray tracer
+        from toroidal_ray_tracing_tpu.render.raster import raster_render
+
+        out = raster_render(scene, sc.camera_at(0), sc.width, sc.height, st)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            from PIL import Image
+
+            img = np.asarray(tonemap(out["image"]))
+            Image.fromarray(
+                (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, f"{sc.name}_raster.png"))
+        return out, {"scenario": sc.name, "frames": 1, "protocol": "raster"}
 
     if sequence:
         # sustained-throughput mode: all frames scanned inside one jit
@@ -208,11 +226,14 @@ def main(argv=None):
     ap.add_argument("--sequence", action="store_true",
                     help="scan all frames inside one jit (sustained "
                          "throughput, no per-frame dispatch round trips)")
+    ap.add_argument("--raster", action="store_true",
+                    help="render through the z-buffered raster pipeline "
+                         "(the reference UI's 'use raster' checkbox)")
     args = ap.parse_args(argv)
     from toroidal_ray_tracing_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
     _, stats = run_scenario(args.run, args.backend, args.out, args.frames,
-                            sequence=args.sequence)
+                            sequence=args.sequence, raster=args.raster)
     print(stats)
 
 
