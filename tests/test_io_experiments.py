@@ -218,6 +218,15 @@ class TestExperiments:
         assert SCENARIOS[6].name.startswith("config6_mesh")
         assert SCENARIOS[7].name.startswith("config7_textured")
 
+    def test_textured_scene_reachable_from_experiment_clis(self):
+        """The textured workload is selectable wherever the reference's
+        scene list is (--scene for rho_sweep/gtruth)."""
+        from toroidal_ray_tracing_tpu.experiments.scene_args import PROCEDURAL
+
+        assert "textured" in PROCEDURAL
+        sd = PROCEDURAL["textured"]()
+        assert any(getattr(m, "textures", None) for m in sd.models)
+
     def test_scenario_raster_mode(self, tmp_path):
         """--raster = the reference UI's 'use raster' checkbox: same
         scenario through the z-buffered raster pipeline, PNG out."""

@@ -34,6 +34,7 @@ PROCEDURAL = {
     "multi_torus": procedural.scene_multi_torus,
     "single_torus": procedural.scene_single_torus,
     "instanced_grid": procedural.scene_instanced_torus_grid,
+    "textured": procedural.scene_textured_mesh,
 }
 
 
