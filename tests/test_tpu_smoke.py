@@ -186,7 +186,7 @@ def test_small_torus_kernel_mosaic_parity():
 
     ref = tk.torus_closest_hit_pallas(
         o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
-        mat_table=mat)
+        geom.tor_center, geom.tor_bound, mat_table=mat)
     out = tk.torus_closest_hit_small(
         o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
         mat_table=mat)
@@ -203,7 +203,7 @@ def test_small_torus_kernel_mosaic_parity():
 
     r_oc = tk.torus_closest_hit_pallas(
         o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
-        occlusion=True)
+        geom.tor_center, geom.tor_bound, occlusion=True)
     o_oc = tk.torus_closest_hit_small(
         o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
         occlusion=True)
