@@ -274,7 +274,7 @@ def raster_render(scene: Scene, camera, width: int, height: int,
     # texture modulate (frag_shader.frag:86-91: diffuse *= texture(txt, uv));
     # same trilinear footprint-LOD sampler as the ray path so the two views
     # stay pixel-identical on unshadowed geometry
-    if scene.textures.data.shape[0] > 1:
+    if scene.textures.data4q.shape[0] > 1:
         from toroidal_ray_tracing_tpu.trace.shade import (_sample_texture,
                                                           mip_lod)
 

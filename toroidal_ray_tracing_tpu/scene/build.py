@@ -247,16 +247,28 @@ def _mip_chain(img: np.ndarray) -> "list[np.ndarray]":
     return levels
 
 
+def _tex_quantize(m: np.ndarray) -> np.ndarray:
+    """(h, w, 3) linear f32 -> gamma-encoded u8, the reference's own texel
+    precision (VK_FORMAT_R8G8B8A8_SRGB, hello_vulkan.cpp:289). Inverse of
+    types.tex_dequant; 8-bit image sources round-trip exactly."""
+    g = np.clip(m, 0.0, 1.0).astype(F32) ** F32(1.0 / 2.2)
+    return np.round(g * F32(255.0)).astype(np.uint8)
+
+
 def _quad_pack(m: np.ndarray) -> np.ndarray:
-    """(h, w, 3) level -> (h*w, 12) rows of wrap-addressed 2x2 quads
-    (TextureAtlas.data4): one row-gather then fetches all four bilinear
-    taps."""
-    return np.concatenate(
-        [m,
-         np.roll(m, -1, axis=1),
-         np.roll(m, -1, axis=0),
-         np.roll(np.roll(m, -1, axis=0), -1, axis=1)],
-        axis=-1).reshape(-1, 12)
+    """(h, w, 3) linear level -> (h*w, 3) u32 rows of wrap-addressed 2x2
+    quads (TextureAtlas.data4q): bilinear tap k (t00, t10, t01, t11) in
+    byte k of each channel word, so ONE row-gather fetches all four taps
+    at 12 B/texel (gather cost scales with gathered-table bytes — see
+    TextureAtlas)."""
+    m8 = _tex_quantize(m)
+    taps = (m8,
+            np.roll(m8, -1, axis=1),
+            np.roll(m8, -1, axis=0),
+            np.roll(np.roll(m8, -1, axis=0), -1, axis=1))
+    words = sum(t.astype(np.uint32) << np.uint32(8 * k)
+                for k, t in enumerate(taps))
+    return words.reshape(-1, 3)
 
 
 def build_texture_atlas(textures: list) -> TextureAtlas:
@@ -267,7 +279,7 @@ def build_texture_atlas(textures: list) -> TextureAtlas:
             offsets=np.zeros((1, 1), I32),
             sizes=np.ones((1, 1, 2), I32),
             n_levels=np.ones((1,), I32),
-            data4=np.ones((1, 12), F32),
+            data4q=np.full((1, 3), 0xFFFFFFFF, np.uint32),
         )
     chains = [_mip_chain(t) for t in textures]
     L = max(len(c) for c in chains)
@@ -290,7 +302,7 @@ def build_texture_atlas(textures: list) -> TextureAtlas:
         offsets=offsets,
         sizes=sizes,
         n_levels=np.asarray([len(c) for c in chains], I32),
-        data4=np.concatenate(quads, axis=0).astype(F32),
+        data4q=np.concatenate(quads, axis=0),
     )
 
 

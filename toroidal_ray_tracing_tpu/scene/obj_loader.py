@@ -97,16 +97,22 @@ def parse_mtl(path: str, textures: list, texture_dir: str) -> dict:
 
 
 def load_texture(path: str) -> Optional[np.ndarray]:
-    """Decode an image to float32 (H, W, 3) in [0,1]. Uses PIL if available
-    (replaces stb_image, hello_vulkan.cpp:320); silently returns None when the
-    file is missing, like the reference's dummy-texture fallback."""
+    """Decode an image to LINEAR float32 (H, W, 3) in [0,1]. Uses PIL if
+    available (replaces stb_image, hello_vulkan.cpp:320); silently returns
+    None when the file is missing, like the reference's dummy-texture
+    fallback. Image files are gamma-encoded and the reference samples them
+    through VK_FORMAT_R8G8B8A8_SRGB (hello_vulkan.cpp:289) — i.e. the
+    sampler decodes to linear — so decode here with the same gamma-2.2
+    convention the loader applies to material colors. The atlas re-encodes
+    at pack time (build._tex_quantize), so 8-bit sources round-trip the
+    quantized atlas exactly."""
     if not os.path.exists(path):
         return None
     try:
         from PIL import Image  # pillow ships with the baked-in deps
 
         img = np.asarray(Image.open(path).convert("RGB"), dtype=F32) / F32(255.0)
-        return img
+        return img ** F32(2.2)
     except Exception:
         return None
 

