@@ -1282,7 +1282,7 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     n = origins.shape[1]
     K = major.shape[0]
     if (TORUS_SMALL_ENABLE and K <= TORUS_SMALL_MAX_K
-            and n % TORUS_SMALL_TILE == 0):
+            and n <= TORUS_SMALL_MAX_RAYS and n % TORUS_SMALL_TILE == 0):
         # tiny torus sets: the rays-on-sublanes kernel runs K full-occupancy
         # quartics instead of one chunk-padded (8, rays) eval
         return torus_closest_hit_small(origins, dirs, tmax, w2o, major,
@@ -1397,6 +1397,13 @@ TORUS_SMALL_MAX_K = 8   # tori: at or below this, the folded kernel beats the
                         # while this kernel runs K full-occupancy (8, tm)
                         # evals, one per REAL torus
 TORUS_SMALL_TILE = 2048  # rays per grid step (8 sublane rows x 256 lanes)
+TORUS_SMALL_MAX_RAYS = 1 << 20  # the folded kernel brute-forces all K
+                        # quartics per ray (no visit-list culling), so it
+                        # wins only while the chunk kernel's fixed per-
+                        # dispatch cost dominates: measured on hardware
+                        # +8% at 72k rays (config 1), +9% at 426k
+                        # (config 2), -2% at 4.7M (config 3), -9% at
+                        # per-band 4K frames (config 5)
 
 
 def _torus_small_kernel(par_ref, o_ref, d_ref, tmax_ref, *refs,

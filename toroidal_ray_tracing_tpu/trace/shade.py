@@ -73,16 +73,58 @@ def mip_lod(xp, t, pixel_spread, tex_density, level0_max_dim):
 # (hello_vulkan.cpp:289). Flip to "0" to A/B the 4-tap path on hardware.
 TEX_QUAD_GATHER = os.environ.get("TRT_TEX_QUAD", "1") == "1"
 
+# Per-ray lookups from TINY tables (mip offsets/sizes, per-texture level
+# counts) must not lower to XLA gathers: on TPU a flat (N,) gather costs
+# ~18 ms per 2M rays REGARDLESS of table size (measured,
+# scripts/gather_bench.py — the texel row-gather itself is 8-25 ms, so 9
+# metadata gathers were ~110 of the 139 ms sample pass). Below this row
+# count, lookups run as a fused compare-select chain instead: one
+# elementwise pass over the rays, M scalar selects deep.
+TEX_TINY_MAX = 512
 
-def _bilinear_level(scene: Scene, tex_id, level, uv, quad=None):
+
+def _tiny_lookup(cols, idx, m_count: int):
+    """Gather-free per-ray lookup from tiny tables.
+
+    cols: tuple of (M,) arrays; idx: (N,) i32 in [0, m_count). Returns a
+    tuple of (N,) arrays. Lowered as m_count fused scalar selects — an
+    elementwise chain XLA keeps in registers, vs ~18 ms per 2M rays for
+    each (N,) gather it replaces."""
+    outs = [jnp.broadcast_to(c[0], idx.shape) for c in cols]
+    for k in range(1, m_count):
+        sel = idx == k
+        outs = [jnp.where(sel, c[k], o) for c, o in zip(cols, outs)]
+    return tuple(outs)
+
+
+def _level_meta(atlas, tex_id, level):
+    """(off, hs, ws) per ray for (tex_id, level) — tiny-table lookup."""
+    n_tex, L = atlas.offsets.shape
+    m = n_tex * L
+    if m <= TEX_TINY_MAX:
+        return _tiny_lookup(
+            (atlas.offsets.reshape(m), atlas.sizes[:, :, 0].reshape(m),
+             atlas.sizes[:, :, 1].reshape(m)),
+            tex_id * L + level, m)
+    return (atlas.offsets[tex_id, level], atlas.sizes[tex_id, level, 0],
+            atlas.sizes[tex_id, level, 1])
+
+
+def _tex_meta(atlas, tex_id, cols):
+    """Per-ray lookup of per-TEXTURE columns ((n_tex,) each)."""
+    n_tex = atlas.offsets.shape[0]
+    if n_tex <= TEX_TINY_MAX:
+        return _tiny_lookup(cols, tex_id, n_tex)
+    return tuple(c[tex_id] for c in cols)
+
+
+def _bilinear_level(scene: Scene, tex_id, level, uv, quad=None, meta=None):
     """Bilinear, repeat addressing, at one mip level of the flat atlas.
     uv: (2, N) rows; returns (3, N). quad overrides TEX_QUAD_GATHER
-    (microbench A/B)."""
+    (microbench A/B); meta short-circuits the (off, hs, ws) lookup."""
     quad = TEX_QUAD_GATHER if quad is None else quad
     atlas = scene.textures
-    off = atlas.offsets[tex_id, level]
-    hs = atlas.sizes[tex_id, level, 0]
-    ws = atlas.sizes[tex_id, level, 1]
+    off, hs, ws = _level_meta(atlas, tex_id, level) if meta is None else meta
     x = (uv[0] % 1.0) * ws.astype(F32) - F32(0.5)
     y = (uv[1] % 1.0) * hs.astype(F32) - F32(0.5)
     x0 = jnp.floor(x)
@@ -123,7 +165,7 @@ def _sample_texture(scene: Scene, tex_id, uv, lod=None, quad=None):
     if lod is None:
         return _bilinear_level(scene, tex_id, jnp.zeros_like(tex_id), uv,
                                quad)
-    nl = scene.textures.n_levels[tex_id]
+    (nl,) = _tex_meta(scene.textures, tex_id, (scene.textures.n_levels,))
     l = jnp.clip(lod, 0.0, (nl - 1).astype(F32))
     l0 = jnp.floor(l).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, nl - 1)
@@ -265,8 +307,11 @@ def _shade_common(scene, settings, origins, dirs, hit, missed, is_tor,
     # textures (the dummy atlas is a single texel)
     if scene.textures.data4q.shape[0] > 1:
         tid = jnp.maximum(tex_id, 0)
-        dim0 = jnp.maximum(scene.textures.sizes[tid, 0, 0],
-                           scene.textures.sizes[tid, 0, 1]).astype(F32)
+        (dim0,) = _tex_meta(
+            scene.textures, tid,
+            (jnp.maximum(scene.textures.sizes[:, 0, 0],
+                         scene.textures.sizes[:, 0, 1]),))
+        dim0 = dim0.astype(F32)
         lod = mip_lod(jnp, hit.t, jnp.asarray(settings.pixel_spread, F32),
                       tex_density, dim0)
         texel = _sample_texture(scene, tid, tri_uv, lod)
