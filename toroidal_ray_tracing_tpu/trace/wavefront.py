@@ -16,6 +16,7 @@ bounce loop. `trace_rays` accepts either layout at the boundary
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Any
 
 import jax
@@ -32,13 +33,19 @@ COMPACT_SPAN = 128    # live-ray compaction granularity = the kernels' span
                       # width; whole spans stay contiguous so the permute
                       # is cheap 512 B row gathers, not per-ray gathers
                       # (~150x cheaper — XLA element gathers run 1/cycle)
-COMPACT_FACTOR = 8    # shrunken-dispatch bucket: when every live span fits
-                      # in the first n/8 lanes, the bounce traces/shades
-                      # only that prefix (config 3's bounce 2 is ~5% live:
-                      # the reference's dead rays exit the rgen loop for
-                      # free, raytrace.rgen:100-103 — this is the TPU
-                      # analog; each extra bucket size costs a full set of
-                      # Mosaic kernel recompiles, so one is kept)
+COMPACT_FACTORS = tuple(
+    int(f) for f in os.environ.get("TRT_COMPACT_FACTORS", "4,8").split(",")
+    if f)                 # shrunken-dispatch buckets: when every live span
+                      # fits in the first n/f lanes, the bounce traces and
+                      # shades only that prefix (the reference's dead rays
+                      # exit the rgen loop for free, raytrace.rgen:100-103
+                      # — this is the TPU analog). Two buckets: the mirror
+                      # -floor ladder scenes measure 15.2% live SPANS at
+                      # bounce 2 (scripts/live_fraction.py) — just over the
+                      # old single n/8 bucket's 12.5% cutoff, so bounce 2
+                      # ran fully dense; n/4 catches it. Each extra bucket
+                      # costs one more set of Mosaic kernel compiles (and
+                      # nothing at run time), so the list stays short.
 
 
 class RayState(NamedTuple):
@@ -98,10 +105,12 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
     # relabeling — all per-ray state travels together, and span_orig
     # carries each slot's original span id so outputs unpermute once at
     # the end.
-    small = n // COMPACT_FACTOR
-    compact = (backend == "pallas"
-               and n % (COMPACT_FACTOR * 2048) == 0 and small >= 2048)
-    sizes = (n, small) if compact else (n,)
+    sizes = [n]
+    for f in COMPACT_FACTORS:
+        if n % (f * 2048) == 0 and n // f >= 2048:
+            sizes.append(n // f)        # multiple of the 2048 kernel tile
+    sizes = tuple(sizes)                # strictly decreasing
+    compact = backend == "pallas" and len(sizes) > 1
     n_spans = n // COMPACT_SPAN if compact else 1
 
     def cond(carry):
@@ -193,7 +202,10 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         span_orig = span_orig[perm]
 
         live_rays = jnp.sum(live.astype(jnp.int32)) * COMPACT_SPAN
-        bucket = (live_rays <= small).astype(jnp.int32)
+        # smallest prefix that holds every live span (sizes is decreasing)
+        bucket = jnp.zeros((), jnp.int32)
+        for j in range(1, len(sizes)):
+            bucket = jnp.where(live_rays <= sizes[j], jnp.int32(j), bucket)
         # collectives inside the bounce require a mesh-uniform branch:
         # pmin picks the larger (always-safe) size
         for ax in (ray_axis, prim_axis):
