@@ -398,6 +398,45 @@ def test_mini_mesh_scene_full_render_gated(monkeypatch):
     assert n_bad <= 4, f"{n_bad} pixels diverged"
 
 
+def test_wavefront_pad_enables_compaction_buckets():
+    """1080p (2,073,600 rays) is divisible by NO compaction bucket stride
+    (f*2048) — before the wavefront self-pad, every >=1080p config silently
+    ran all bounces dense. Guard the pad math, and check that a padded
+    render (96x96 = 9216 -> 16384 lanes, all three buckets live) matches
+    the jnp backend bit-for-bit on the ray COUNTER too (pad lanes must
+    never count as traced rays)."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.cameras import generate_rays
+    from toroidal_ray_tracing_tpu.trace import wavefront as wf
+
+    align = wf._compact_align()
+    assert all((align // (f * 2048)) * (f * 2048) == align
+               for f in wf.COMPACT_FACTORS)
+    n_1080p = 1920 * 1080
+    assert any(n_1080p % (f * 2048) for f in wf.COMPACT_FACTORS), \
+        "sanity: 1080p needs the pad for at least one bucket"
+    assert (n_1080p + (-n_1080p) % align) % align == 0
+
+    import jax
+
+    scene = jax.device_put(build_scene(procedural.scene_torus_plane(
+        analytic=True)))
+    cam = PinholeCamera(eye=(7.0, 4.0, 7.0), center=(0.0, 0.3, 0.0))
+    st = RenderSettings.default(max_depth=3)
+    o_h, d_h = generate_rays(cam, 96, 96, st, xp=np)
+    o, d = jnp.asarray(o_h), jnp.asarray(d_h)
+    assert (-o.shape[0]) % align <= o.shape[0], "pad path must engage"
+
+    from toroidal_ray_tracing_tpu.trace.wavefront import trace_rays
+    hv_j, hp_j, nr_j = trace_rays(scene, st, o, d, backend="jnp")
+    hv_p, hp_p, nr_p = trace_rays(scene, st, o, d, backend="pallas")
+    assert hv_p.shape == hv_j.shape and hp_p.shape == hp_j.shape
+    assert float(nr_p) == float(nr_j), (float(nr_p), float(nr_j))
+    err = np.abs(np.asarray(hv_j) - np.asarray(hv_p)).max(axis=-1)
+    assert int((err > 1e-3).sum()) <= 2
+
+
 def test_small_torus_kernel_edge_cases():
     """Folded small-K kernel: odd K, dead rays (tmax=0), NaN directions
     (toroidal eye==center raygen), and an exactly-one-tile batch must all

@@ -16,6 +16,7 @@ bounce loop. `trace_rays` accepts either layout at the boundary
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import NamedTuple, Any
 
@@ -34,18 +35,34 @@ COMPACT_SPAN = 128    # live-ray compaction granularity = the kernels' span
                       # is cheap 512 B row gathers, not per-ray gathers
                       # (~150x cheaper — XLA element gathers run 1/cycle)
 COMPACT_FACTORS = tuple(
-    int(f) for f in os.environ.get("TRT_COMPACT_FACTORS", "4,8").split(",")
+    int(f) for f in os.environ.get("TRT_COMPACT_FACTORS", "2,4,8").split(",")
     if f)                 # shrunken-dispatch buckets: when every live span
                       # fits in the first n/f lanes, the bounce traces and
                       # shades only that prefix (the reference's dead rays
                       # exit the rgen loop for free, raytrace.rgen:100-103
-                      # — this is the TPU analog). Two buckets: the mirror
-                      # -floor ladder scenes measure 15.2% live SPANS at
-                      # bounce 2 (scripts/live_fraction.py) — just over the
-                      # old single n/8 bucket's 12.5% cutoff, so bounce 2
-                      # ran fully dense; n/4 catches it. Each extra bucket
-                      # costs one more set of Mosaic kernel compiles (and
-                      # nothing at run time), so the list stays short.
+                      # — this is the TPU analog). The mirror-floor ladder
+                      # scenes measure 15.2% live SPANS at bounce 2
+                      # (scripts/live_fraction.py), so n/4 catches bounce 2
+                      # and n/2 the partially-live bounce 1. Each extra
+                      # bucket costs one more set of Mosaic kernel compiles
+                      # (and nothing at run time), so the list stays short.
+                      # The batch pads itself to _compact_align() lanes so
+                      # the buckets exist at ANY frame size: 1080p
+                      # (2,073,600 rays) is divisible by no f*2048, and
+                      # before the pad every >=1080p config silently ran
+                      # all bounces dense — the dead lanes tile-cull inside
+                      # the kernels, so the pad costs ~0.35% dense work at
+                      # 1080p while enabling 2-8x lighter late bounces.
+
+
+def _compact_align() -> int:
+    """Lane count the wavefront pads ray batches to so every compaction
+    bucket size (n/f, f in COMPACT_FACTORS) is a whole multiple of the
+    2048-lane kernel tile (16384 for the default factors)."""
+    a = 2048
+    for f in COMPACT_FACTORS:
+        a = math.lcm(a, f * 2048)
+    return a
 
 
 class RayState(NamedTuple):
@@ -84,7 +101,19 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
     """
     if not rows:
         origins, dirs = origins.T, dirs.T
-    n = origins.shape[1]
+    n0 = origins.shape[1]
+    # pad the batch so the compaction bucket sizes divide it (see
+    # COMPACT_FACTORS): pad lanes start inactive, trace with tmax = 0
+    # (tile-culled inside the kernels), and are sliced off before return
+    pad = ((-n0) % _compact_align()) if backend == "pallas" else 0
+    if pad > n0:
+        pad = 0   # tiny batches (tests, probes): 2-250x padding overhead
+                  # would dwarf any bucket win; the kernels' own RAY_TILE
+                  # padding already handles alignment there
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((3, pad), F32)], axis=1)
+        dirs = jnp.concatenate([dirs, jnp.ones((3, pad), F32)], axis=1)
+    n = n0 + pad
     max_depth = jnp.asarray(settings.max_depth, jnp.int32)
 
     init = RayState(
@@ -93,7 +122,7 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         hit_value=jnp.zeros((3, n), F32),
         attenuation=jnp.ones((3, n), F32),
         hit_position=jnp.zeros((3, n), F32),
-        active=jnp.ones((n,), bool),
+        active=(jnp.arange(n) < n0 if pad else jnp.ones((n,), bool)),
         any_active=jnp.asarray(True),
         depth=jnp.asarray(0, jnp.int32),
         rays_traced=jnp.asarray(0, jnp.int32),
@@ -224,6 +253,8 @@ def trace_rays(scene: Scene, settings: RenderSettings, origins, dirs,
         unrow = lambda a: a.reshape(  # noqa: E731
             3, n_spans, COMPACT_SPAN)[:, inv].reshape(3, n)
         hv, hp = unrow(hv), unrow(hp)
+    if pad:
+        hv, hp = hv[:, :n0], hp[:, :n0]
     if not rows:
         hv, hp = hv.T, hp.T
     # f32 at the boundary: callers accumulate across spp/bands/devices where
