@@ -58,6 +58,32 @@ def make_flat(tables, t_rows):
     return run
 
 
+def make_rows2(table, t_rows):
+    """Trilinear shape probe: the sampler's two mip-level row gathers as
+    (a) two N-index gathers vs (b) one fused 2N-index gather — answers
+    whether per-gather-op overhead (vs per-row cost) is worth fusing
+    `shade._sample_texture`'s l0/l1 fetches into one op."""
+    def run_two(idx):
+        def body(c, k):
+            i = (idx + k) % t_rows
+            j = (idx * 7 + k) % t_rows
+            g = table[i].astype(jnp.float32) + table[j].astype(jnp.float32)
+            return c + g.sum(), None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_ITERS))
+        return c
+
+    def run_fused(idx):
+        def body(c, k):
+            i = (idx + k) % t_rows
+            j = (idx * 7 + k) % t_rows
+            g = table[jnp.concatenate([i, j])].astype(jnp.float32)
+            return c + g.sum(), None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K_ITERS))
+        return c
+
+    return run_two, run_fused
+
+
 def main():
     rng = np.random.default_rng(0)
     print(f"# {N} indices x {K_ITERS}-iter scans; ms per pass")
@@ -80,7 +106,8 @@ def main():
             ("flat_u32_x1", make_flat((flat1_u,), t_rows), idx),
             ("flat_f32_x1", make_flat((flat1_f,), t_rows), idx),
             ("flat_sorted", make_flat((flat1_u,), t_rows), idx_sorted),
-        ]:
+        ] + list(zip(("rows3_2xN", "rows3_1x2N"),
+                     make_rows2(t_u32_3, t_rows), (idx, idx))):
             dt, _ = timed(fn, ix)
             print(f"  {name:12s} {dt*1e3:9.2f} ms "
                   f"({N/dt/1e6:8.1f} Mrows/s)")
