@@ -46,6 +46,38 @@ def rays_for(w, h):
     return o, d
 
 
+def half_stats(o, d, tmax, hlo, hhi, label):
+    """Of the (span, 16-chunk) pairs that pass the chunk gate, how many
+    pass via only ONE 8-torus half? (The candidate eval could then run
+    (8, sub) instead of (16, sub) — half the quartic flops, same dispatch
+    count.) hlo/hhi: (2C, 3) half-chunk boxes, halves of chunk c at rows
+    2c / 2c+1."""
+    ids, bits, cnt = jax.jit(tk._chunk_visit_lists, static_argnums=(6, 7))(
+        o, d, tmax, hlo, hhi,
+        jnp.arange(hlo.shape[0], dtype=jnp.int32), tk.TORUS_RAY_TILE,
+        tk.TORUS_SUB)
+    # reconstruct per-(tile, half) span masks from the sorted entries
+    nt = bits.shape[0]
+    C2 = hlo.shape[0]
+    mask = np.zeros((nt, C2), np.int64)
+    ids_h = np.asarray(ids)
+    bits_h = np.asarray(bits)
+    np.put_along_axis(mask, ids_h, bits_h, axis=1)
+    h0 = mask[:, 0::2]
+    h1 = mask[:, 1::2]
+    both = 0
+    single = 0
+    for s in range(8):
+        b0 = (h0 >> s) & 1
+        b1 = (h1 >> s) & 1
+        both += int(((b0 & b1) == 1).sum())
+        single += int(((b0 ^ b1) == 1).sum())
+    tot = both + single
+    print(f"{label}: {tot} (span, chunk) passes at half granularity: "
+          f"{single} single-half ({100 * single / max(tot, 1):.1f}%), "
+          f"{both} both-halves")
+
+
 def span_stats(o, d, tmax, clo, chi, rank, label):
     ids, vbits, cnt = jax.jit(
         tk._chunk_visit_lists, static_argnums=(6, 7))(
@@ -81,6 +113,7 @@ def main():
         rad = jnp.concatenate(
             [rad, jnp.tile(jnp.asarray([[0.0, -1.0]], F32), (pad, 1))])
     _, _, clo, chi = tk._torus_boxes(w2o_rows, rad, chunk)
+    _, _, hlo, hhi = tk._torus_boxes(w2o_rows, rad, chunk // 2)
     C = Kp // chunk
     print(f"K={K} chunk={chunk} C={C} chunks; tris={scene.loose_tris} "
           f"loose (plane)")
@@ -97,6 +130,7 @@ def main():
         rank = jnp.argsort(jnp.argsort(cdist)).astype(jnp.int32)
         tmax = jnp.full((o.shape[1],), tk.BIG, jnp.float32)
         span_stats(o, d, tmax, clo, chi, rank, f"primary {w}x{h}")
+        half_stats(o, d, tmax, hlo, hhi, f"primary {w}x{h}")
 
         if w > 1000:
             continue  # shadow diag at quarter res only (jnp hit is O(N*K))
@@ -115,6 +149,7 @@ def main():
         print(f"  shadow rays: {frac_lit * 100:.1f}% of rays hit "
               "(lit, query issued)")
         span_stats(hp, L, stmax, clo, chi, srank, f"shadow  {w}x{h}")
+        half_stats(hp, L, stmax, hlo, hhi, f"shadow  {w}x{h}")
 
 
 if __name__ == "__main__":

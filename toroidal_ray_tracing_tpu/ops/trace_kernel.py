@@ -851,10 +851,21 @@ def tri_closest_hit_stream(origins, dirs, tmax, woop_o, woop_d,
 # Torus kernel
 # ---------------------------------------------------------------------------
 
-TORUS_SUB = 128        # rays per quartic sub-tile: a visited chunk's pair
-                       # mask gates the quartic per (8, SUB) block — exactly
-                       # one vreg per op, so a tile evaluates the quartic
-                       # only on the 128-lane spans that have candidates
+TORUS_SUB = int(os.environ.get("TRT_TORUS_SUB", "512"))
+                       # rays per quartic sub-tile in GATED mode: the visit
+                       # entry's bits gate the quartic per (chunk, SUB)
+                       # block. 128 (one vreg per op) does exact minimal
+                       # work, but the dispatch has a large fixed cost and
+                       # the 1k-grid's visit lists average 4.7 span-hits
+                       # per (tile, chunk) — wider spans amortize it.
+                       # Measured on config 4 (1080p frame, per 2M-ray
+                       # pass, closest/any-hit): 128 = 13.3/12.9 ms,
+                       # 256 = 11.5/11.8, 512 = 11.7/11.2,
+                       # 1024 = 12.8/13.4 (over-widened: extra quartic
+                       # work beats the dispatch savings). 512 wins the
+                       # end-to-end ladder A/B +9.5% (61.7 -> 67.6 Mrays/s
+                       # 2-frame sequence). Env knob: TRT_TORUS_SUB.
+                       # (Ungated mode already runs whole-tile spans.)
 TORUS_CHUNK = 8        # tori per visited chunk, ungated scenes (the
                        # minimum dynamic sublane slice granularity; K <= 64
                        # scenes round Kp up to this, so bigger chunks would
