@@ -485,3 +485,59 @@ def test_small_torus_kernel_edge_cases():
     ja = tj < 1e4
     assert (oa[~agree].size + (oa == ja)[agree].sum()) >= n - max(4, n // 2000)
     assert not oa[dead].any()
+
+
+@pytest.mark.parametrize("sub", [128, 256, 512, 1024])
+def test_gated_torus_span_widths_match_jnp(monkeypatch, sub):
+    """TORUS_SUB (the gated quartic span width) is perf-tunable via
+    TRT_TORUS_SUB; every width must produce identical hits. Guards the
+    512-default chosen from the hardware sweep (PERF.md config-4 section)
+    and the bit/span packing math in _chunk_visit_lists at each ratio."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.scene.types import SceneDef, Torus
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+    from toroidal_ray_tracing_tpu.utils import math3d
+
+    monkeypatch.setattr(tk, "TORUS_SUB", sub)
+    monkeypatch.setattr(tk, "TORUS_SMALL_ENABLE", False)
+
+    # 128 tori (> the K=64 gating threshold), no plane so the jnp
+    # reference is tori-only like the kernel call
+    s = SceneDef()
+    rng = np.random.default_rng(3)
+    base = s.add_model(Torus(0.35, 0.12, [procedural.matte((0.8, 0.5, 0.2))]),
+                       math3d.translation((0.0, 0.15, 0.0)))
+    for i in range(12):
+        for j in range(12):
+            if 1 + i * 12 + j >= 128:
+                break
+            s.add_instance(base, math3d.compose(
+                math3d.translation(((i - 6) * 1.2, 0.15, (j - 6) * 1.2)),
+                math3d.rotation_y(float(rng.uniform(0, 360)))))
+    scene = build_scene(s)
+    geom = isect.geom_from_scene(scene)
+    assert geom.tor_major.shape[0] == 128
+
+    cam = PinholeCamera(eye=(12.0, 9.0, 12.0), center=(0.0, 0.0, 0.0))
+    st = RenderSettings.default(max_depth=1)
+    o, d = cam.generate_rays(64, 32, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+    hj = isect._closest_hit_jnp(scene, geom, o, d, tmax)
+    tj = np.minimum(np.asarray(hj.t), 1e4)
+
+    for occl in (False, True):
+        out = tk.torus_closest_hit_pallas(
+            o, d, tmax, geom.tor_w2o, geom.tor_major, geom.tor_minor,
+            geom.tor_center, geom.tor_bound, occlusion=occl)
+        tp = np.minimum(np.asarray(out[0]), 1e4)
+        if occl:
+            np.testing.assert_array_equal(tp < 1e4, tj < 1e4)
+        else:
+            np.testing.assert_allclose(tp, tj, rtol=1e-4, atol=1e-3)
+            hit = tp < 1e4
+            np.testing.assert_array_equal(
+                np.asarray(out[1])[hit], np.asarray(hj.prim)[hit])
