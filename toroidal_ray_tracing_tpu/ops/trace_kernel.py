@@ -1293,7 +1293,8 @@ def torus_closest_hit_pallas(origins, dirs, tmax, w2o, major, minor,
     n = origins.shape[1]
     K = major.shape[0]
     if (TORUS_SMALL_ENABLE and K <= TORUS_SMALL_MAX_K
-            and n <= TORUS_SMALL_MAX_RAYS and n % TORUS_SMALL_TILE == 0):
+            and n <= max(TORUS_SMALL_MAX_RAYS, TORUS_SMALL_WORK_MAX // K)
+            and n % TORUS_SMALL_TILE == 0):
         # tiny torus sets: the rays-on-sublanes kernel runs K full-occupancy
         # quartics instead of one chunk-padded (8, rays) eval
         return torus_closest_hit_small(origins, dirs, tmax, w2o, major,
@@ -1415,6 +1416,18 @@ TORUS_SMALL_MAX_RAYS = 1 << 20  # the folded kernel brute-forces all K
                         # +8% at 72k rays (config 1), +9% at 426k
                         # (config 2), -2% at 4.7M (config 3), -9% at
                         # per-band 4K frames (config 5)
+TORUS_SMALL_WORK_MAX = int(os.environ.get("TRT_TORUS_SMALL_WORK",
+                                          str(4 << 20)))
+                        # K-aware extension of the ray gate: the folded
+                        # kernel's cost is ~K full-width quartic passes, so
+                        # its viable ray count scales ~1/K. The losses
+                        # above were all K=4 scenes (configs 3/5); the K=1
+                        # scenes WON at ~2M-ray batched calls (config 1 =
+                        # 119.0 and config 2 = 210.6 on the 2026-08-18
+                        # pre-gate ladder vs 108.8/180.6 after the flat 1M
+                        # gate re-routed their 30/8-frame batches to the
+                        # chunk kernel). n <= WORK_MAX/K keeps K=4 at the
+                        # measured 1M cutoff and restores K<=3's headroom.
 
 
 def _torus_small_kernel(par_ref, o_ref, d_ref, tmax_ref, *refs,
