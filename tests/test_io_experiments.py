@@ -136,6 +136,47 @@ class TestExperiments:
         assert os.path.exists(tmp_path / "data" / "testptCloudImage_10.txt")
         assert rmse is not None  # gTruth found and compared
 
+    def test_reproject_all_rhos(self, tmp_path):
+        """--all-rhos batch mode: one invocation sweeps every captured rho
+        (app 2's 19-file batch list, before_second/hello_vulkan.cpp:499-527)."""
+        from toroidal_ray_tracing_tpu.experiments import gtruth, reproject, rho_sweep
+
+        sd = procedural.scene_torus_plane(analytic=True)
+        cam_t = ToroidalCamera(eye=(0.0, 1.5, 0.0), center=(8.0, 0.0, 0.0))
+        st = RenderSettings.default(max_depth=1)
+        rho_sweep.run_sweep(sd, str(tmp_path), cam_t, 24, 24, st,
+                            save_rays=False)
+        assert reproject.capture_rhos(str(tmp_path)) == rho_sweep.rho_values()
+        cam_p = PinholeCamera(eye=(8.0, 4.0, 8.0), center=(0.0, 0.5, 0.0))
+        gtruth.run_gtruth(sd, str(tmp_path), "batch", cam_p, 24, 24, st,
+                          save_png=False)
+        results = reproject.run_reproject_all(
+            str(tmp_path), "batch", cam_p, 24, 24, 24, 24, save_png=False)
+        assert [r["rho"] for r in results] == rho_sweep.rho_values()
+        for r in results:
+            assert r["rmse"] is not None and np.isfinite(r["rmse"])
+        # per-rho output files are distinct (no _10 clobbering)
+        assert os.path.exists(tmp_path / "data" / "batchptCloudImage_4.txt")
+        assert os.path.exists(tmp_path / "data" / "batchptCloudImage_10.txt")
+
+    def test_rho_sweep_frames_per_step(self, tmp_path):
+        """frames_per_step reproduces the reference's 60-frames-per-step
+        capture cadence (main.cpp:337-341) — dumps identical to the
+        1-frame-per-step sweep (the extra frames fed only the UI)."""
+        from toroidal_ray_tracing_tpu.experiments import rho_sweep
+
+        sd = procedural.scene_torus_plane(analytic=True)
+        cam = ToroidalCamera(eye=(0.0, 1.0, 0.0), center=(8.0, 0.0, 0.0))
+        st = RenderSettings.default(max_depth=1)
+        a = tmp_path / "a"
+        b = tmp_path / "b"
+        rho_sweep.run_sweep(sd, str(a), cam, 16, 16, st, save_rays=False)
+        rho_sweep.run_sweep(sd, str(b), cam, 16, 16, st, save_rays=False,
+                            frames_per_step=3)
+        pa = dumps.read_points(str(a / "data" / "renderedPosition4.000000.txt"))
+        pb = dumps.read_points(str(b / "data" / "renderedPosition4.000000.txt"))
+        np.testing.assert_array_equal(pa, pb)
+
     def test_obj_cli_pipeline(self, tmp_path):
         """The reference's flagship workflow on an OBJ scene, through the
         experiment CLIs themselves: --obj capture sweep -> --obj gTruth ->

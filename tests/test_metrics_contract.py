@@ -32,7 +32,9 @@ def ladder():
 
 
 def test_headline_fields(ladder):
-    assert ladder["protocol"].startswith("sequence") or ladder["protocol"]
+    # the protocol string must describe both timing regimes it publishes
+    assert "sequence" in ladder["protocol"]
+    assert "mrays_per_s" in ladder["protocol"]
     v = ladder["headline_mrays_per_s_per_chip"]
     assert isinstance(v, (int, float)) and v > 0
     assert 0.0 <= ladder["headline_mfu"] <= 1.0

@@ -10,7 +10,9 @@ pinhole camera, and dump `data/<scene>ptCloudImage_10.txt`
 from __future__ import annotations
 
 import argparse
+import glob
 import os
+import re
 
 import numpy as np
 
@@ -24,7 +26,8 @@ def run_reproject(capture_dir: str, rho: float, scene_name: str,
                   camera: PinholeCamera | None = None,
                   width: int = 1920, height: int = 1080,
                   capture_width: int = 1920, capture_height: int = 1080,
-                  out_dir: str | None = None, save_png: bool = True):
+                  out_dir: str | None = None, save_png: bool = True,
+                  tag: str = "10"):
     """Returns (image, written_files). Raises if the dumps are missing or
     mismatched (app 2 throws on length mismatch, hello_vulkan.cpp:636-639)."""
     if camera is None:
@@ -34,11 +37,12 @@ def run_reproject(capture_dir: str, rho: float, scene_name: str,
                                          capture_width, capture_height)
     img = splat_points(pos, col, camera, width, height)
     img_np = np.asarray(img)
-    written = [dumps.write_ptcloud_image(out_dir, scene_name, img_np)]
+    written = [dumps.write_ptcloud_image(out_dir, scene_name, img_np,
+                                         tag=tag)]
     if save_png:
         from PIL import Image
 
-        png = os.path.join(out_dir, f"{scene_name}ptCloudImage.png")
+        png = os.path.join(out_dir, f"{scene_name}ptCloudImage_{tag}.png")
         Image.fromarray(
             (np.clip(np.asarray(tonemap(img)), 0, 1) * 255).astype(np.uint8)
         ).save(png)
@@ -52,10 +56,52 @@ def run_reproject(capture_dir: str, rho: float, scene_name: str,
     return img_np, written, rmse
 
 
+def capture_rhos(capture_dir: str) -> list:
+    """Discover every rho step captured under `capture_dir/data` — the
+    batch analog of app 2's hard-coded 19-rho filename list
+    (before_second/hello_vulkan.cpp:499-527), derived from the files on
+    disk instead of a source-code edit per sweep."""
+    rhos = []
+    for p in glob.glob(os.path.join(capture_dir, "data",
+                                    "renderedPosition*.txt")):
+        m = re.fullmatch(r"renderedPosition([0-9.+-eE]+)\.txt",
+                         os.path.basename(p))
+        if m:
+            rhos.append(float(m.group(1)))
+    return sorted(set(rhos))
+
+
+def run_reproject_all(capture_dir: str, scene_name: str,
+                      camera: PinholeCamera | None = None,
+                      width: int = 1920, height: int = 1080,
+                      capture_width: int = 1920, capture_height: int = 1080,
+                      out_dir: str | None = None, save_png: bool = True):
+    """Reproject EVERY rho dump found in the capture dir (app 2's batch
+    workflow across rho steps, before_second/hello_vulkan.cpp:499-527).
+
+    Returns a list of {rho, files, rmse} result rows (rmse is None when no
+    gTruth dump exists)."""
+    rhos = capture_rhos(capture_dir)
+    if not rhos:
+        raise FileNotFoundError(
+            f"no renderedPosition*.txt dumps under {capture_dir}/data")
+    results = []
+    for rho in rhos:
+        tag = dumps.rho_tag(rho).rstrip("0").rstrip(".") or "0"
+        _, files, rmse = run_reproject(
+            capture_dir, rho, scene_name, camera, width, height,
+            capture_width, capture_height, out_dir, save_png, tag=tag)
+        results.append({"rho": rho, "files": files, "rmse": rmse})
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--capture", required=True, help="dir with data/ dumps")
     ap.add_argument("--rho", type=float, default=10.0)
+    ap.add_argument("--all-rhos", action="store_true",
+                    help="reproject every rho dump found in the capture dir "
+                         "and print a summary RMSE table")
     ap.add_argument("--name", default="scene")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
@@ -66,6 +112,15 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     cam = PinholeCamera(eye=tuple(args.eye), center=tuple(args.center))
+    if args.all_rhos:
+        results = run_reproject_all(
+            args.capture, args.name, cam, args.width, args.height,
+            args.capture_width, args.capture_height)
+        print(f"{'rho':>8}  {'RMSE vs gTruth':>15}  files")
+        for r in results:
+            rm = f"{r['rmse']:.6g}" if r["rmse"] is not None else "-"
+            print(f"{r['rho']:8.2f}  {rm:>15}  {len(r['files'])}")
+        return
     img, files, rmse = run_reproject(
         args.capture, args.rho, args.name, cam, args.width, args.height,
         args.capture_width, args.capture_height)

@@ -50,12 +50,21 @@ def run_sweep(
     subject_follow: bool = False,
     save_npz: bool = False,
     camera_path=None,
+    frames_per_step: int = 1,
 ):
     """Run the full sweep; returns the list of written files.
 
     camera_path: optional callable step -> ToroidalCamera animating the
     camera across the sweep; with subject_follow, instance 0 is refit to
-    each frame's eye (updateSubjectPosition semantics)."""
+    each frame's eye (updateSubjectPosition semantics).
+
+    frames_per_step: render this many frames per rho step, dumping from
+    the LAST one — the reference's literal capture cadence (it advances
+    rho only every 60 frames, main.cpp:337-341, so each step's dump lands
+    after 60 renders of the same pose; frames_per_step=60 reproduces that
+    invocation exactly). The extra frames run as one on-device
+    `render_sequence` (the sustained frame loop), then the dump frame
+    renders through the normal `render()` path."""
     if camera is None:
         # reference default pose: lookat (0,0,0) -> (10,0,0) (main.cpp:123-133)
         camera = ToroidalCamera(eye=(0.0, 0.0, 0.0), center=(10.0, 0.0, 0.0))
@@ -82,6 +91,14 @@ def run_sweep(
                 scene = refit_instance(scene, 0, subject_xf, new_xf)
                 subject_xf = new_xf
         st = settings._replace(rho=np.float32(rho))
+        if frames_per_step > 1:
+            # frames 1 .. N-1 of the reference's 60-frame step loop: same
+            # pose, sustained on-device (no dumps — the reference's extras
+            # only fed the interactive UI)
+            from toroidal_ray_tracing_tpu.render import render_sequence
+            render_sequence(scene, [camera] * (frames_per_step - 1),
+                            width, height, st, backend=backend,
+                            keep_images=False)
         out = render(scene, camera, width, height, st, backend=backend)
         hitpos = np.asarray(out["hit_position"])
         image = np.asarray(out["image"])
@@ -113,6 +130,9 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=10)
     ap.add_argument("--subject-follow", action="store_true")
     ap.add_argument("--npz", action="store_true")
+    ap.add_argument("--frames-per-step", type=int, default=1,
+                    help="frames rendered per rho step (60 = the "
+                         "reference's literal UI cadence, main.cpp:337-341)")
     args = ap.parse_args(argv)
 
     scene_def = scene_def_from_args(args)
@@ -120,7 +140,7 @@ def main(argv=None):
     st = RenderSettings.default(max_depth=args.max_depth)
     files = run_sweep(scene_def, args.out, cam, args.width, args.height, st,
                       backend=args.backend, subject_follow=args.subject_follow,
-                      save_npz=args.npz)
+                      save_npz=args.npz, frames_per_step=args.frames_per_step)
     print(f"wrote {len(files)} files under {args.out}")
 
 

@@ -99,9 +99,13 @@ def write_gtruth(root: str, scene_name: str, image) -> str:
     return path
 
 
-def write_ptcloud_image(root: str, scene_name: str, image) -> str:
-    """Point-cloud re-render dump (before_second, hello_vulkan.cpp:797-805)."""
-    path = os.path.join(_data_dir(root), f"{scene_name}ptCloudImage_10.txt")
+def write_ptcloud_image(root: str, scene_name: str, image,
+                        tag: str = "10") -> str:
+    """Point-cloud re-render dump (before_second, hello_vulkan.cpp:797-805).
+    tag: the filename suffix — the reference hard-codes "10" (one rho per
+    build); the --all-rhos batch sweep writes one file per rho step."""
+    path = os.path.join(_data_dir(root),
+                        f"{scene_name}ptCloudImage_{tag}.txt")
     _write_rows(path, _to_row_order(image))
     return path
 

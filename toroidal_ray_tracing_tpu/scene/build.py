@@ -156,8 +156,10 @@ def refit_instance(scene: Scene, instance_id: int, old_transform,
     tris = scene.triangles
     mask = np.asarray(tris.instance_id) == instance_id
     new_tris = tris
-    cluster_lo = np.asarray(scene.cluster_lo)
-    cluster_hi = np.asarray(scene.cluster_hi)
+    # copies, not views: the refit must not mutate the input scene's
+    # cluster boxes in place (np.asarray aliases the caller's arrays)
+    cluster_lo = np.array(scene.cluster_lo)
+    cluster_hi = np.array(scene.cluster_hi)
     if mask.any():
         arrs = {f: np.array(getattr(tris, f))
                 for f in ("v0", "e1", "e2", "n0", "n1", "n2")}
