@@ -44,7 +44,9 @@ def main():
 
     for sub in (128, 256, 512, 1024):
         os.environ["TRT_TORUS_SUB"] = str(sub)
-        import toroidal_ray_tracing_tpu.ops.trace_kernel as tk
+        # TORUS_SUB is read from the env at import in ops.torus_kernel
+        # (the defining module after the round-4 split)
+        import toroidal_ray_tracing_tpu.ops.torus_kernel as tk
         importlib.reload(tk)
         assert tk.TORUS_SUB == sub
 

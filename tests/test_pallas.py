@@ -102,7 +102,7 @@ def test_gated_tri_visit_lists_match_ungated(monkeypatch):
     made before the monkeypatch)."""
     import jax.numpy as jnp
 
-    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.ops import tri_kernel as tk
     from toroidal_ray_tracing_tpu.trace import intersect as isect
 
     scene = build_scene(procedural.scene_cornellish())
@@ -372,11 +372,12 @@ def test_mini_mesh_scene_full_render_gated(monkeypatch):
     real hardware."""
     import jax.numpy as jnp  # noqa: F401
 
-    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.ops import tri_kernel as tk
     from toroidal_ray_tracing_tpu.scene import procedural as proc
     from toroidal_ray_tracing_tpu.scene.types import SceneDef
     from toroidal_ray_tracing_tpu.utils import math3d
 
+    # patch the DEFINING module (ops.tri_kernel; trace_kernel re-exports)
     monkeypatch.setattr(tk, "TRI_GATE_MIN", 256)
     sd = SceneDef()
     sd.add_model(proc.torus_mesh(1.4, 0.5, seg_major=24, seg_minor=12,
@@ -495,13 +496,18 @@ def test_gated_torus_span_widths_match_jnp(monkeypatch, sub):
     and the bit/span packing math in _chunk_visit_lists at each ratio."""
     import jax.numpy as jnp
 
-    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.ops import torus_kernel as tk
     from toroidal_ray_tracing_tpu.scene.types import SceneDef, Torus
     from toroidal_ray_tracing_tpu.trace import intersect as isect
     from toroidal_ray_tracing_tpu.utils import math3d
 
+    # patch the DEFINING module (ops.torus_kernel — trace_kernel only
+    # re-exports) and drop the jit cache: the launcher reads TORUS_SUB at
+    # trace time, so a cached executable would silently reuse the previous
+    # width and the parametrization would test nothing
     monkeypatch.setattr(tk, "TORUS_SUB", sub)
     monkeypatch.setattr(tk, "TORUS_SMALL_ENABLE", False)
+    tk.torus_closest_hit_pallas.clear_cache()
 
     # 128 tori (> the K=64 gating threshold), no plane so the jnp
     # reference is tori-only like the kernel call

@@ -1,0 +1,314 @@
+"""Streamed (HBM-resident) triangle kernel — meshes past the VMEM ceiling.
+
+Same contract as ops/tri_kernel.tri_closest_hit_pallas; clusters group into
+superblocks whose packed Woop/attr tables stream through a double-buffered
+VMEM scratch (the BLAS analog for driver-managed huge meshes, SURVEY.md
+§2B; validated to 1M+ triangles).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from toroidal_ray_tracing_tpu.ops.kernel_common import (
+    _DN0, BIG, F32, MAX_SPANS, TMIN, _chunk_visit_lists, _interpret,
+    _inv_dir, _pack_visit_rows, _rays_to_rows)
+from toroidal_ray_tracing_tpu.ops.tri_kernel import TRI_SUB
+
+TRI_STREAM_MIN = 65536   # tris: above this the resident kernel's VMEM
+                         # tables (~244 B/tri with attrs) blow the ~16 MB
+                         # scoped-VMEM budget; Woop/attr tables then stay
+                         # in HBM and superblocks stream through a double-
+                         # buffered VMEM scratch (the BLAS analog for
+                         # driver-managed huge meshes, SURVEY.md §2B)
+STREAM_GATE_BOXES = 512  # superblock-count target for the XLA gate: keeps
+                         # the O(boxes x rays) exact gate at ~2.8x the
+                         # 23k-tri ladder mesh's measured 4.7 ms/2M rays
+STREAM_MAX_SB = 4096     # tris per superblock cap (DMA block ~1 MB: 2x
+                         # (24+37, SB) f32 double-buffered scratch)
+
+
+def _tri_stream_kernel(visit_ref, slo_ref, shi_ref, o_ref, d_ref, tmax_ref,
+                       w24_ref, *refs, sb_tris: int, sub: int,
+                       emit_attrs: bool, occlusion: bool):
+    """One grid step = one ray tile, walking its SUPERBLOCK visit list with
+    double-buffered HBM->VMEM DMA of each visited superblock's packed Woop
+    (24, sb_tris) and attr (37, sb_tris) tables. Structure otherwise
+    mirrors _tri_kernel with cluster := sb_tris: the visit bits are exact
+    per 128-lane span (gate over superblock AABBs), a dispatched
+    (superblock, span) re-runs the slab against the running best from SMEM
+    boxes, then one Woop pass over the whole streamed block.
+
+    The DMA for visit entry v+1 is issued before entry v is processed, so
+    at ~1.5 us of HBM traffic per block the copies hide behind the
+    multi-us Woop pass of the previous block."""
+    if emit_attrs:
+        (a37_ref, t_out, idx_out, u_out, v_out, attr_out,
+         wbuf, abuf, sems) = refs
+    else:
+        t_out, idx_out, u_out, v_out, wbuf, sems = refs
+        a37_ref = abuf = None
+    R = o_ref.shape[1]
+    n_sub = R // sub
+
+    t_out[...] = jnp.full((1, R), BIG, F32)
+    idx_out[...] = jnp.zeros((1, R), jnp.int32)
+    u_out[...] = jnp.zeros((1, R), F32)
+    v_out[...] = jnp.zeros((1, R), F32)
+    if emit_attrs:
+        attr_out[...] = jnp.zeros((21, R), F32)
+
+    cnt = visit_ref[0, 0]
+
+    def _copy(v, slot):
+        c = visit_ref[0, 1 + 2 * v]
+        off = pl.multiple_of(c * sb_tris, 128)
+        pltpu.make_async_copy(
+            w24_ref.at[:, pl.ds(off, sb_tris)], wbuf.at[slot],
+            sems.at[slot, 0]).start()
+        if emit_attrs:
+            pltpu.make_async_copy(
+                a37_ref.at[:, pl.ds(off, sb_tris)], abuf.at[slot],
+                sems.at[slot, 1]).start()
+
+    def _wait(slot):
+        pltpu.make_async_copy(
+            w24_ref.at[:, pl.ds(0, sb_tris)], wbuf.at[slot],
+            sems.at[slot, 0]).wait()
+        if emit_attrs:
+            pltpu.make_async_copy(
+                a37_ref.at[:, pl.ds(0, sb_tris)], abuf.at[slot],
+                sems.at[slot, 1]).wait()
+
+    def _span(c, slot, ls):
+        oh = o_ref[:, ls]                 # (4, sub)
+        d = d_ref[:, ls]
+        tmax = tmax_ref[0:1, ls]
+        t_cur = t_out[0:1, ls]
+        if occlusion:
+            bound = jnp.where(t_cur < BIG, F32(-1.0), tmax)
+        else:
+            bound = jnp.minimum(t_cur, tmax)
+
+        # span-vs-superblock slab against the running best (SMEM boxes)
+        ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]
+        invx = _inv_dir(d[0:1])
+        invy = _inv_dir(d[1:2])
+        invz = _inv_dir(d[2:3])
+        t0x = (slo_ref[c, 0] - ox) * invx
+        t1x = (shi_ref[c, 0] - ox) * invx
+        t0y = (slo_ref[c, 1] - oy) * invy
+        t1y = (shi_ref[c, 1] - oy) * invy
+        t0z = (slo_ref[c, 2] - oz) * invz
+        t1z = (shi_ref[c, 2] - oz) * invz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        box_hit = (tn <= jnp.minimum(tf, bound)) \
+            & (tf >= TMIN) & (tmax > TMIN)        # (1, sub)
+
+        def _run_woop():
+            hp = jax.lax.Precision.HIGHEST
+
+            def dot0(r0, b):  # (4, SB) x (4, sub) -> (SB, sub)
+                return jax.lax.dot_general(
+                    wbuf[slot, r0:r0 + 4, :], b, _DN0, precision=hp,
+                    preferred_element_type=jnp.float32)
+
+            opx = dot0(0, oh)
+            opy = dot0(4, oh)
+            opz = dot0(8, oh)
+            dpx = dot0(12, d)
+            dpy = dot0(16, d)
+            dpz = dot0(20, d)
+
+            dz_ok = jnp.abs(dpz) > F32(1e-12)
+            inv_dz = jnp.where(dz_ok, F32(1.0), F32(0.0)) / \
+                jnp.where(dz_ok, dpz, F32(1.0))
+            t = -opz * inv_dz
+            u = opx + t * dpx
+            v = opy + t * dpy
+            hit = dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+                & (t >= TMIN) & (t <= tmax)
+            t = jnp.where(hit, t, BIG)
+
+            t_tile = jnp.min(t, axis=0, keepdims=True)    # (1, sub)
+            if occlusion:
+                t_out[0:1, ls] = jnp.minimum(t_tile, t_cur)
+                return
+            rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+            arg = jnp.min(jnp.where(t <= t_tile, rows, sb_tris), axis=0,
+                          keepdims=True)
+            pick = rows == arg
+            better = t_tile < t_cur
+            t_out[0:1, ls] = jnp.where(better, t_tile, t_cur)
+            idx_out[0:1, ls] = jnp.where(better, c * sb_tris + arg,
+                                         idx_out[0:1, ls])
+            if not emit_attrs:
+                u_sel = jnp.sum(jnp.where(pick, u, 0.0), axis=0,
+                                keepdims=True)
+                v_sel = jnp.sum(jnp.where(pick, v, 0.0), axis=0,
+                                keepdims=True)
+                u_out[0:1, ls] = jnp.where(better, u_sel, u_out[0:1, ls])
+                v_out[0:1, ls] = jnp.where(better, v_sel, v_out[0:1, ls])
+
+            if emit_attrs:
+                pickf = pick.astype(jnp.float32)
+                a0 = abuf[slot, 0:21, :]                  # (21, SB)
+                a1 = abuf[slot, 21:29, :]                 # (8, SB)
+                a2 = abuf[slot, 29:37, :]                 # (8, SB)
+                n0 = jnp.dot(a0, pickf, precision=hp,
+                             preferred_element_type=jnp.float32)
+                n1 = jnp.dot(a1, pickf * jnp.where(pick, u, 0.0),
+                             precision=hp,
+                             preferred_element_type=jnp.float32)
+                n2 = jnp.dot(a2, pickf * jnp.where(pick, v, 0.0),
+                             precision=hp,
+                             preferred_element_type=jnp.float32)
+                new = jnp.concatenate([n0[0:8] + n1 + n2, n0[8:21]], axis=0)
+                attr_cur = attr_out[:, ls]
+                attr_out[:, ls] = jnp.where(better, new, attr_cur)
+
+        pl.when(jnp.any(box_hit))(_run_woop)
+
+    @pl.when(cnt > 0)
+    def _prologue():
+        _copy(0, 0)
+
+    def body(v, _):
+        slot = jax.lax.rem(v, 2)
+
+        @pl.when(v + 1 < cnt)
+        def _prefetch():
+            _copy(v + 1, jax.lax.rem(v + 1, 2))
+
+        _wait(slot)
+        c = visit_ref[0, 1 + 2 * v]
+        bits = visit_ref[0, 2 + 2 * v]
+        for j in range(n_sub):
+            ls = slice(j * sub, (j + 1) * sub)
+
+            @pl.when(((bits >> j) & 1) == 1)
+            def _(c=c, slot=slot, ls=ls):
+                _span(c, slot, ls)
+
+        return 0
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cluster", "ray_tile",
+                                             "occlusion"))
+def tri_closest_hit_stream(origins, dirs, tmax, woop_o, woop_d,
+                           cluster_lo, cluster_hi, cluster: int,
+                           ray_tile: int = 1024, attr_tables=None,
+                           occlusion: bool = False):
+    """Streamed variant of tri_closest_hit_pallas for meshes whose tables
+    exceed VMEM (T > TRI_STREAM_MIN; validated to 1M+ triangles). Same
+    contract. Clusters group into superblocks of `g` clusters sized so the
+    exact XLA gate sees <= STREAM_GATE_BOXES boxes and each DMA block is
+    <= STREAM_MAX_SB triangles."""
+    n = origins.shape[1]
+    T = woop_o.shape[2]
+    emit_attrs = attr_tables is not None
+    C = cluster_lo.shape[0]
+    assert cluster % 128 == 0 and C * cluster == T, (cluster, C, T)
+
+    g = max(1, -(-C // STREAM_GATE_BOXES))
+    g = min(g, max(1, STREAM_MAX_SB // cluster))
+    S = -(-C // g)
+    sb_tris = g * cluster
+    Tp = S * sb_tris
+
+    ray_tile = min(ray_tile, n)
+    sub = TRI_SUB if ray_tile % TRI_SUB == 0 else ray_tile
+    assert n % ray_tile == 0 and ray_tile // sub <= MAX_SPANS
+    nt = n // ray_tile
+
+    oh, d4, tm = _rays_to_rows(origins, dirs, tmax)
+    wd4 = jnp.concatenate([woop_d, jnp.zeros((3, 1, T), woop_d.dtype)],
+                          axis=1)
+    w24 = jnp.concatenate([woop_o.reshape(12, T), wd4.reshape(12, T)],
+                          axis=0)
+    if Tp != T:
+        w24 = jnp.concatenate([w24, jnp.zeros((24, Tp - T), F32)], axis=1)
+
+    # superblock AABBs from cluster AABBs. Empty clusters carry far POINT
+    # boxes (scene/build): min over lo keeps the real bound, but max over
+    # a +FAR hi would blow a mixed superblock up to infinity — mask them.
+    clo = jnp.asarray(cluster_lo)
+    chi = jnp.asarray(cluster_hi)
+    if S * g != C:
+        padc = S * g - C
+        clo = jnp.concatenate([clo, jnp.full((padc, 3), F32(1e30))])
+        chi = jnp.concatenate([chi, jnp.full((padc, 3), F32(1e30))])
+    empty = clo[:, 0:1] > F32(1e29)
+    chi_eff = jnp.where(empty, F32(-1e30), chi)
+    sb_lo = jnp.min(clo.reshape(S, g, 3), axis=1)
+    sb_hi = jnp.max(chi_eff.reshape(S, g, 3), axis=1)
+    all_empty = jnp.all(empty.reshape(S, g, 1), axis=1)
+    sb_hi = jnp.where(all_empty, sb_lo, sb_hi)   # far point, not inverted
+
+    mean_o = jnp.mean(origins, axis=1)
+    cdist = jnp.linalg.norm(
+        jnp.maximum(jnp.maximum(sb_lo - mean_o[None, :],
+                                mean_o[None, :] - sb_hi), 0.0), axis=1)
+    rank = jnp.argsort(jnp.argsort(cdist)).astype(jnp.int32)
+    vids, vbits, cnt = _chunk_visit_lists(origins, dirs, tmax, sb_lo, sb_hi,
+                                          rank, ray_tile, sub)
+    packed, visit_spec = _pack_visit_rows(vids, vbits, cnt, nt, S)
+
+    ray_spec = pl.BlockSpec((4, ray_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, ray_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    in_specs = [visit_spec, smem, smem, ray_spec, ray_spec, row_spec, hbm]
+    operands = [packed, sb_lo, sb_hi, oh, d4, tm, w24]
+    out_specs = [row_spec, row_spec, row_spec, row_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, n), F32),
+        jax.ShapeDtypeStruct((1, n), jnp.int32),
+        jax.ShapeDtypeStruct((1, n), F32),
+        jax.ShapeDtypeStruct((1, n), F32),
+    ]
+    scratch = [pltpu.VMEM((2, 24, sb_tris), F32),
+               pltpu.SemaphoreType.DMA((2, 2))]
+    if emit_attrs:
+        a0, a1, a2 = attr_tables
+        # rows padded 37 -> 40: Mosaic DMA slices must be 8-aligned on the
+        # sublane dim
+        a37 = jnp.concatenate([a0, a1, a2, jnp.zeros((3, T), F32)], axis=0)
+        if Tp != T:
+            a37 = jnp.concatenate([a37, jnp.zeros((40, Tp - T), F32)],
+                                  axis=1)
+        in_specs.append(hbm)
+        operands.append(a37)
+        out_specs.append(pl.BlockSpec((21, ray_tile), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((21, n), F32))
+        scratch.insert(1, pltpu.VMEM((2, 40, sb_tris), F32))
+
+    out = pl.pallas_call(
+        functools.partial(_tri_stream_kernel, sb_tris=sb_tris, sub=sub,
+                          emit_attrs=emit_attrs, occlusion=occlusion),
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(*operands)
+    t, idx, u, v = out[:4]
+    res = (t.reshape(n), idx.reshape(n), u.reshape(n), v.reshape(n))
+    return res + ((out[4],) if emit_attrs else ())
