@@ -173,11 +173,15 @@ def _write_ladder(backend, headline, headline_mfu, headline_speedup):
         rows.append(row)
     out = {
         "protocol": "fetch-drained timing (see bench.py docstring); "
-                    "mrays_per_s includes per-frame dispatch round trips; "
-                    "mrays_per_s_sequence scans frames inside one jit "
-                    "(sustained device throughput); mfu = post-cull "
-                    "utilization model capped at 1.0; cull_speedup = "
-                    "brute-force/post-cull modeled work ratio",
+                    "mrays_per_s = front-door render_frames batch (full "
+                    "per-frame RenderedData, ONE dispatch per batch — the "
+                    "tunnel RTT amortizes across the batch; a single-frame "
+                    "render() additionally pays ~40 ms dispatch RTT, a "
+                    "platform artifact); mrays_per_s_sequence scans frames "
+                    "inside one jit (sustained device throughput, probe "
+                    "outputs only); mfu = post-cull utilization model "
+                    "capped at 1.0; cull_speedup = brute-force/post-cull "
+                    "modeled work ratio",
         "backend": backend,
         "headline_mrays_per_s_per_chip": headline,
         "headline_mfu": round(headline_mfu, 4),

@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from toroidal_ray_tracing_tpu.cameras import PinholeCamera
-from toroidal_ray_tracing_tpu.render import render, render_sequence
+from toroidal_ray_tracing_tpu.render import (render, render_frames,
+                                             render_sequence)
 from toroidal_ray_tracing_tpu.scene import (RenderSettings, build_scene,
                                             procedural)
 
@@ -71,6 +72,44 @@ def test_sequence_spp_jitter(setup):
     one = render_sequence(scene, cams[:1], RES, RES, st, spp=1, seed=5)
     assert np.isfinite(np.asarray(seq["images"])).all()
     assert float(seq["rays_traced"]) > 1.5 * float(one["rays_traced"])
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_render_frames_matches_per_frame(setup, backend):
+    """render_frames (the one-dispatch multi-frame front door) must return
+    the SAME full RenderedData quartet as per-frame render() calls."""
+    scene, st, cams = setup
+    batch = render_frames(scene, cams, RES, RES, st, backend=backend)
+    total = 0.0
+    for f, cam in enumerate(cams):
+        out = render(scene, cam, RES, RES, st, backend=backend)
+        for bkey, rkey in (("images", "image"),
+                           ("hit_positions", "hit_position"),
+                           ("ray_origins", "ray_origin"),
+                           ("ray_dirs", "ray_dir")):
+            err = float(np.abs(np.asarray(batch[bkey][f])
+                               - np.asarray(out[rkey])).max())
+            assert err < 1e-6, f"frame {f} {bkey}: {err}"
+        total += float(out["rays_traced"])
+    assert float(batch["rays_traced"]) == total
+    # dumps=False keeps only the images
+    lite = render_frames(scene, cams, RES, RES, st, backend=backend,
+                         dumps=False)
+    assert "hit_positions" not in lite
+    np.testing.assert_array_equal(np.asarray(lite["images"]),
+                                  np.asarray(batch["images"]))
+
+
+def test_render_frames_spp(setup):
+    """spp > 1 jitter-averages inside the batch, matching render(spp=...)'s
+    structure (frame 0 of each spp group is the unjittered center)."""
+    scene, st, cams = setup
+    batch = render_frames(scene, cams[:1], RES, RES, st, spp=2, seed=3)
+    one = render(scene, cams[0], RES, RES, st, spp=2, seed=3)
+    err = float(np.abs(np.asarray(batch["images"][0])
+                       - np.asarray(one["image"])).max())
+    assert err < 1e-6, err
+    assert float(batch["rays_traced"]) == float(one["rays_traced"])
 
 
 def test_scenario_cameras_seq():

@@ -204,6 +204,88 @@ def render_sequence(scene, cameras, width, height, settings=None,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("cam_cls", "width", "height",
+                                             "backend", "spp", "dumps"))
+def _frames_jit(scene, settings, param_stack, key, cam_cls, width, height,
+                backend, spp, dumps):
+    """K frames scanned inside ONE jit, each returning the FULL RenderedData
+    quartet (unlike _sequence_jit's throughput probe). One host dispatch
+    per batch instead of per frame — the ~40 ms tunnel RTT amortizes over
+    the whole batch."""
+    shape = (height, width, 3)
+
+    def frame(rays_total, inp):
+        fidx, params = inp
+        acc = hitpos = o = d = None
+        for s in range(max(spp, 1)):
+            sub = jax.random.fold_in(key, fidx * spp + s)
+            color, hp, oo, dd, nr = _frame_jit.__wrapped__(
+                scene, settings, params, sub, cam_cls, width, height,
+                backend, s > 0)
+            acc = color if acc is None else acc + color
+            rays_total = rays_total + nr
+            if s == 0:
+                hitpos, o, d = hp, oo, dd
+        img = (acc / F32(max(spp, 1))).reshape(shape)
+        outs = (img,)
+        if dumps:
+            outs += (hitpos.reshape(shape), o.reshape(shape),
+                     d.reshape(shape))
+        return rays_total, outs
+
+    n_frames = jax.tree_util.tree_leaves(param_stack)[0].shape[0]
+    total, outs = jax.lax.scan(frame, jnp.float32(0),
+                               (jnp.arange(n_frames), param_stack))
+    return total, outs
+
+
+def render_frames(scene, cameras, width, height, settings=None,
+                  backend: str = "jnp", spp: int = 1, seed: int = 0,
+                  dumps: bool = True):
+    """Render a batch of frames in ONE device dispatch — the multi-frame
+    front door.
+
+    `render()` pays the host-link dispatch round trip (~40 ms on the TPU
+    tunnel, which dominates small frames) once PER FRAME; this pays it once
+    per BATCH while still returning every frame's full output set (unlike
+    `render_sequence(keep_images=...)`, which returns color images only —
+    this is the one to use when the per-step dumps of the capture workflow
+    are needed at sustained throughput, e.g. the rho sweep's 13 steps).
+
+    cameras: a list of camera objects of one class (one per frame), or a
+    single camera (rendered `spp`-jittered once — pass a list of repeated
+    cameras for an explicit multi-frame batch of the same pose).
+    dumps: False skips the per-frame hit_position / ray buffers (images
+    only) — use for large batches where F x 4 x H x W x 3 f32 would press
+    on HBM (a 8-frame 4K batch with dumps is ~3.2 GB).
+
+    Returns {"images": (F, H, W, 3) linear color,
+             "hit_positions" / "ray_origins" / "ray_dirs": (F, H, W, 3)
+             (when dumps=True), "rays_traced": total float}.
+    """
+    if not isinstance(cameras, (list, tuple)):
+        cameras = [cameras]
+    if settings is None:
+        settings = RenderSettings.default()
+    settings = autofill_pixel_spread(settings, cameras[0], width, height)
+    scene = _as_device_scene(scene)
+    cam_cls = type(cameras[0])
+    params = [c.ray_params(width, height, settings) for c in cameras]
+    # host-stack + one upload (eager per-frame device ops pay the RTT each;
+    # see render_sequence)
+    stack = jax.device_put(jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *params))
+    total, outs = _frames_jit(scene, settings, stack,
+                              jax.random.PRNGKey(seed), cam_cls, width,
+                              height, backend, spp, dumps)
+    out = {"images": outs[0], "rays_traced": total}
+    if dumps:
+        out["hit_positions"] = outs[1]
+        out["ray_origins"] = outs[2]
+        out["ray_dirs"] = outs[3]
+    return out
+
+
 def autofill_pixel_spread(settings, camera, width, height):
     """Fill RenderSettings.pixel_spread from the camera when unset (0) —
     the reference's sampler is always mipmapped (hello_vulkan.cpp:315-339),
