@@ -163,7 +163,8 @@ def _write_ladder(backend, headline, headline_mfu, headline_speedup):
         # frames for config 1 (a 72k-ray frame renders in ~2 ms — at 60
         # frames the single ~40 ms dispatch RTT still eats 40% of the
         # window), 60 for config 2.
-        seq_frames = {1: 240, 2: 60, 3: 16, 4: 16, 5: 8, 6: 16}.get(n, 16)
+        seq_frames = {1: 240, 2: 60, 3: 16, 4: 16, 5: 8, 6: 16,
+                      8: 4}.get(n, 16)
         _, seq = run_scenario(n, backend=backend, frames=seq_frames,
                               sequence=True)
         row["mrays_per_s_sequence"] = seq["mrays_per_s"]

@@ -201,6 +201,37 @@ def test_small_scene_cluster_size_adapts():
     assert np.asarray(scene.triangles.valid).sum() == 2
 
 
+def test_torus_mesh_fast_matches_loop_tessellator():
+    """torus_mesh_fast (the vectorized >1M-tri generator behind config 8's
+    streamed-mesh scene) must emit exactly torus_mesh's vertices/indices."""
+    from toroidal_ray_tracing_tpu.scene import procedural as p
+
+    a = p.torus_mesh(1.3, 0.4, seg_major=12, seg_minor=7)
+    b = p.torus_mesh_fast(1.3, 0.4, seg_major=12, seg_minor=7)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-6)
+    np.testing.assert_allclose(a.normals, b.normals, atol=1e-6)
+    np.testing.assert_allclose(a.uvs, b.uvs, atol=1e-6)
+    np.testing.assert_array_equal(a.indices, b.indices)
+    np.testing.assert_array_equal(a.mat_index, b.mat_index)
+
+
+def test_scene_hires_mesh_small_renders():
+    """A downsized config-8 scene builds and renders (the full-size mesh
+    crosses TRI_STREAM_MIN and is exercised by the hardware ladder; the
+    streamed kernel's parity is pinned by test_pallas)."""
+    from toroidal_ray_tracing_tpu.cameras import PinholeCamera
+    from toroidal_ray_tracing_tpu.render import render
+    from toroidal_ray_tracing_tpu.scene import (RenderSettings, build_scene,
+                                                procedural)
+
+    scene = build_scene(procedural.scene_hires_mesh(seg=16))
+    cam = PinholeCamera(eye=(6.0, 4.0, 6.0), center=(0.0, 0.6, 0.0))
+    out = render(scene, cam, 24, 24, RenderSettings.default(max_depth=2),
+                 backend="pallas")
+    img = np.asarray(out["image"])
+    assert np.isfinite(img).all() and img.std() > 0.01
+
+
 def test_split_loose_clusters_edge_cases():
     """_split_loose_clusters fires whenever the loose total stays tiny (the
     hoist prepass is dense over loose x rays); with no dense cluster left

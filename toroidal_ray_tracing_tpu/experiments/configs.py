@@ -122,6 +122,14 @@ SCENARIOS = {
                 1920, 1080, 3,
                 camera=PinholeCamera(eye=(8.0, 5.0, 8.0),
                                      center=(0.0, 0.5, 0.0))),
+    # extension: a >1M-triangle tessellated mesh — crosses TRI_STREAM_MIN,
+    # so the HBM-streamed superblock kernel (ops/tri_stream.py) carries the
+    # whole frame; keeps the "meshes beyond VMEM" path perf-visible
+    8: Scenario("config8_streamed_mesh",
+                procedural.scene_hires_mesh,
+                1920, 1080, 2,
+                camera=PinholeCamera(eye=(6.0, 4.0, 6.0),
+                                     center=(0.0, 0.6, 0.0))),
 }
 
 

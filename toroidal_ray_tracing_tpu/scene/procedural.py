@@ -130,6 +130,40 @@ def torus_mesh(major_radius: float = 2.0, minor_radius: float = 0.6,
     return _mesh(pos, nrm, uv, idx, [material or matte((0.8, 0.5, 0.2))])
 
 
+def torus_mesh_fast(major_radius: float = 2.0, minor_radius: float = 0.6,
+                    seg_major: int = 64, seg_minor: int = 32,
+                    material: dict | None = None) -> TriangleMesh:
+    """Vectorized torus tessellation — identical output to `torus_mesh`
+    (same vertex order, same winding) but pure numpy array ops: the Python
+    vertex loop is fine at config-6 scale (23k tris) but a >1M-triangle
+    streamed-kernel mesh needs this (~50x faster to build)."""
+    R, r = major_radius, minor_radius
+    i = np.arange(seg_major + 1, dtype=np.float64)[:, None]
+    j = np.arange(seg_minor + 1, dtype=np.float64)[None, :]
+    a = 2 * np.pi * i / seg_major
+    b = 2 * np.pi * j / seg_minor
+    ca, sa = np.cos(a), np.sin(a)
+    cb, sb = np.cos(b), np.sin(b)
+    shp = (seg_major + 1, seg_minor + 1)
+    ring = R + r * cb                                    # (1, J)
+    pos = np.stack([np.broadcast_to(ring * ca, shp),
+                    np.broadcast_to(r * sb, shp),
+                    np.broadcast_to(ring * sa, shp)], axis=-1).reshape(-1, 3)
+    nrm = np.stack([np.broadcast_to(cb * ca, shp),
+                    np.broadcast_to(sb, shp),
+                    np.broadcast_to(cb * sa, shp)], axis=-1).reshape(-1, 3)
+    uv = np.stack(np.broadcast_arrays(i / seg_major, j / seg_minor),
+                  axis=-1).reshape(-1, 2)
+    ii = np.arange(seg_major)[:, None]
+    jj = np.arange(seg_minor)[None, :]
+    a0 = (ii * (seg_minor + 1) + jj).reshape(-1)
+    b0 = a0 + seg_minor + 1
+    idx = np.stack([np.stack([a0, b0, a0 + 1], axis=1),
+                    np.stack([a0 + 1, b0, b0 + 1], axis=1)],
+                   axis=1).reshape(-1, 3)
+    return _mesh(pos, nrm, uv, idx, [material or matte((0.8, 0.5, 0.2))])
+
+
 # ---------------------------------------------------------------------------
 # Canonical scenes (BASELINE.json scenario ladder + reference-style scenes)
 # ---------------------------------------------------------------------------
@@ -236,6 +270,22 @@ def scene_textured_mesh() -> SceneDef:
     floor.textures = [checker_texture(128, 8, (0.45, 0.42, 0.4),
                                       (0.75, 0.73, 0.7))]
     s.add_model(floor)
+    return s
+
+
+def scene_hires_mesh(seg: int = 768) -> SceneDef:
+    """Config 8: a >1M-triangle tessellated torus (2*seg*seg tris; the
+    default 768 gives 1,179,648) over a matte floor — the HBM-streamed
+    triangle kernel's ladder row (ops/tri_stream.py: tables past the
+    ~16 MB scoped-VMEM budget stream through double-buffered DMA). The
+    BLAS scale the reference delegates to the driver
+    (hello_vulkan.cpp:602-663)."""
+    s = SceneDef()
+    s.add_model(torus_mesh_fast(1.6, 0.55, seg_major=seg, seg_minor=seg,
+                                material=matte((0.75, 0.55, 0.25))),
+                math3d.translation((0.0, 0.7, 0.0)))
+    s.add_model(plane(10.0, material=matte((0.6, 0.6, 0.65), illum=1,
+                                           specular=(0.0, 0.0, 0.0))))
     return s
 
 
