@@ -129,6 +129,85 @@ def test_gated_tri_visit_lists_match_ungated(monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("sub,tile", [(256, 1024), (512, 1024),
+                                      (512, 2048), (1024, 2048)])
+def test_gated_tri_span_widths_match(monkeypatch, sub, tile):
+    """TRI_SUB / TRI_RAY_TILE_GATED (the gated Woop span/tile widths) are
+    perf-tunable via TRT_TRI_SUB / TRT_TRI_TILE; every combination must
+    produce the default path's exact hits (guards the span-bit packing in
+    _chunk_visit_lists at each ratio and the launcher's clamping)."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import tri_kernel as tk
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+
+    scene = build_scene(procedural.scene_cornellish())
+    geom = isect.geom_from_scene(scene)
+    cam = PinholeCamera(eye=(0.0, 1.0, 3.5), center=(0.0, 1.0, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    o, d = cam.generate_rays(64, 32, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+
+    def run():
+        outs = []
+        for occl in (False, True):
+            out = tk.tri_closest_hit_pallas(
+                o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+                geom.cluster_hi, scene.cluster_size, occlusion=occl)
+            outs.append([np.asarray(x) for x in out])
+        tk.tri_closest_hit_pallas.clear_cache()
+        return outs
+
+    monkeypatch.setattr(tk, "TRI_GATE_MIN", 256)  # force gating on
+    ref = run()
+    monkeypatch.setattr(tk, "TRI_SUB", sub)
+    monkeypatch.setattr(tk, "TRI_RAY_TILE_GATED", tile)
+    wide = run()
+    # closest-hit: t and winner are exact. Any-hit: only the hit MASK is
+    # contractual — the t value depends on how many extra clusters a span's
+    # unoccluded mates keep alive, which varies with span width.
+    np.testing.assert_array_equal(ref[0][0], wide[0][0])
+    hit = ref[0][0] < 1e30
+    np.testing.assert_array_equal(ref[0][1][hit], wide[0][1][hit])
+    np.testing.assert_array_equal(ref[1][0] < 1e30, wide[1][0] < 1e30)
+
+
+def test_tri_occl_nogate_matches(monkeypatch):
+    """TRI_OCCL_NOGATE (gated any-hit dispatches skip the in-kernel slab +
+    reduce) must leave the occlusion MASK exactly unchanged — the slab is
+    a work-pruning device only."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import tri_kernel as tk
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+
+    scene = build_scene(procedural.scene_cornellish())
+    geom = isect.geom_from_scene(scene)
+    cam = PinholeCamera(eye=(0.0, 1.0, 3.5), center=(0.0, 1.0, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    o, d = cam.generate_rays(64, 32, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+    tmax = tmax.at[::5].set(0.0)   # dead rays must stay misses
+
+    def run():
+        out = tk.tri_closest_hit_pallas(
+            o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+            geom.cluster_hi, scene.cluster_size, occlusion=True)
+        tk.tri_closest_hit_pallas.clear_cache()
+        return np.asarray(out[0]) < 1e30
+
+    monkeypatch.setattr(tk, "TRI_GATE_MIN", 256)  # force gating on
+    ref = run()
+    monkeypatch.setattr(tk, "TRI_OCCL_NOGATE", True)
+    nogate = run()
+    assert not nogate[np.asarray(tmax) == 0.0].any()
+    np.testing.assert_array_equal(ref, nogate)
+
+
 def test_unaligned_cluster_size_rounds_up():
     """build_scene(cluster_size=64) on a multi-cluster mesh must round the
     width to a 128-multiple (the kernel lane-slices tables by dynamic

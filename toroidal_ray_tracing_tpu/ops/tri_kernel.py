@@ -13,6 +13,7 @@ raytrace.rchit:98). Meshes past the VMEM ceiling use ops/tri_stream.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +29,27 @@ RAY_TILE = 2048      # rays per grid step (triangle kernel; lane axis) —
                      # swept on v5e: 2048 is ~2.4x faster than 256 (fewer
                      # grid steps, wider VPU rows); 4096 exceeds VMEM
 
-TRI_SUB = 128          # rays per Woop sub-span in gated mode
-TRI_RAY_TILE_GATED = 1024  # rays per grid step in gated mode
+TRI_SUB = int(os.environ.get("TRT_TRI_SUB", "128"))
+                       # rays per Woop sub-span in gated mode. Wider spans
+                       # amortize the ~1.4 us/dispatch fixed cost (the same
+                       # mechanism that bought config 4 +9.5% via
+                       # TRT_TORUS_SUB=512) at the price of coarser exact
+                       # visit bits (more rays charged per candidate
+                       # cluster). Env knob TRT_TRI_SUB for hardware A/B
+                       # (scripts/tri_sub_ab.py); parity pinned per width
+                       # by tests/test_pallas.py.
+TRI_RAY_TILE_GATED = int(os.environ.get("TRT_TRI_TILE", "1024"))
+                       # rays per grid step in gated mode (TRT_TRI_TILE)
+TRI_OCCL_NOGATE = os.environ.get("TRT_TRI_OCCL_NOGATE", "0") == "1"
+                       # gated ANY-HIT dispatches skip the in-kernel
+                       # span-vs-cluster slab + vector->scalar any() reduce
+                       # and run the Woop test unconditionally. The visit
+                       # bits are already exact per span, so the slab only
+                       # prunes spans whose rays ALL occluded mid-walk —
+                       # the torus kernel measured that pruning at 7.4%
+                       # occlusion rate as pure overhead (TORUS_OCCL_EARLY
+                       # note). A/B knob for config 6's 20.6 ms shadow
+                       # pass (VERDICT r3 #1); flipped by measurement.
 TRI_GATE_MIN = 8192    # tris: below this the XLA visit-list gate costs
                        # more than the short cluster walk it would prune
 TRI_MERGED = False     # single (8, 6C) x (8, sub) contraction instead of
@@ -106,15 +126,18 @@ def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
         else:
             bound = jnp.minimum(t_cur, tmax)
 
-        if skip_box:
+        if skip_box or (occlusion and gated and TRI_OCCL_NOGATE):
             # single-cluster scenes: the box gate can't skip ahead to
             # anything (there is nothing after this cluster), and its
             # slab + vector->scalar any() reduce cost MORE per tile than
             # just running the tiny Woop test; any_live already skips
             # dead tiles. (Skipping it in gated MULTI-cluster mode was
-            # measured WORSE: the running-best/occlusion `bound` in the
-            # slab prunes whole spans as front-to-back visits tighten
-            # t_cur, which the exact-at-gate-time visit bits can't see.)
+            # measured WORSE for CLOSEST hit: the running-best/occlusion
+            # `bound` in the slab prunes whole spans as front-to-back
+            # visits tighten t_cur, which the exact-at-gate-time visit
+            # bits can't see. TRI_OCCL_NOGATE A/Bs the same skip for
+            # gated ANY-HIT, where pruning only fires once a whole span
+            # occluded — extra Woop finds are harmless there.)
             box_hit = None
         else:
             # span-vs-cluster slab against the running best (SMEM
@@ -255,7 +278,7 @@ def _tri_kernel(visit_ref, clo_ref, chi_ref, o_ref, d_ref, tmax_ref,
                 attr_cur = attr_out[:, ls]
                 attr_out[:, ls] = jnp.where(better, new, attr_cur)
 
-        if skip_box:
+        if box_hit is None:
             _run_woop()
         else:
             pl.when(jnp.any(box_hit))(_run_woop)
@@ -313,7 +336,10 @@ def tri_closest_hit_pallas(origins, dirs, tmax, woop_o, woop_d,
         # granularity now that visit entries carry split span-bit words;
         # tile 1024 still measured best (sub-tile VMEM working set)
         ray_tile = min(ray_tile, TRI_RAY_TILE_GATED)
-        sub = TRI_SUB
+        if n % ray_tile != 0:
+            ray_tile = 1024
+        sub = min(TRI_SUB, ray_tile)
+        assert ray_tile % sub == 0, (ray_tile, sub)
     else:
         if n < ray_tile:
             ray_tile = n
