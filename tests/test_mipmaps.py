@@ -142,6 +142,56 @@ def test_textured_scenario_matches_oracle(backend):
     assert rmse < 1e-3, rmse
 
 
+def test_quad_gather_kernel_bit_exact():
+    """ops/tex_kernel.quad_gather_pallas must reproduce the XLA gather's
+    words bit-exactly for scattered indices, and return zeros for invalid
+    rays without letting them widen any span's block range (all-invalid
+    spans walk zero blocks)."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import tex_kernel
+
+    rng = np.random.default_rng(5)
+    T = 3000  # not a multiple of the 1024-texel block (pad path)
+    tab = rng.integers(0, 1 << 32, (T, 3), dtype=np.uint64).astype(np.uint32)
+    n = 2500  # not a multiple of the 1024-ray tile (pad path)
+    # block-coherent-ish indices with scattered outliers (real spans are
+    # coherent; the kernel must still be exact when they are not)
+    f0 = np.minimum(rng.integers(0, T, (n,)), T - 1).astype(np.int32)
+    f1 = np.clip(f0 + rng.integers(-40, 40, (n,)), 0, T - 1).astype(np.int32)
+    valid = rng.random(n) > 0.1
+    valid[256:384] = False  # one whole 128-lane span invalid
+
+    q0, q1 = tex_kernel.quad_gather_pallas(
+        jnp.asarray(tab), jnp.asarray(f0), jnp.asarray(f1),
+        jnp.asarray(valid))
+    q0, q1 = np.asarray(q0), np.asarray(q1)
+    np.testing.assert_array_equal(q0[:, valid], tab[f0[valid]].T)
+    np.testing.assert_array_equal(q1[:, valid], tab[f1[valid]].T)
+    # invalid rays are unspecified when their block is visited anyway
+    # (callers mask them), but an ALL-invalid span walks zero blocks
+    assert (q0[:, 256:384] == 0).all() and (q1[:, 256:384] == 0).all()
+
+
+def test_sample_texture_kernel_matches_xla_path():
+    """_sample_texture(backend='pallas') (Mosaic gather kernel) must equal
+    the XLA quad-gather path bit-for-bit on real mip-chain indices."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.trace import shade as sh
+
+    scene = build_scene(textured_floor_scene())
+    rng = np.random.default_rng(7)
+    n = 4096
+    uv = jnp.asarray(rng.random((2, n), np.float32) * 3.0)
+    tid = jnp.zeros((n,), jnp.int32)
+    lod = jnp.asarray(rng.random(n, np.float32) * 6.0)
+    a = sh._sample_texture(scene, tid, uv, lod, backend="jnp")
+    b = sh._sample_texture(scene, tid, uv, lod, backend="pallas",
+                           valid=jnp.ones((n,), bool))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mipped_render_matches_oracle():
     """TPU path vs oracle with the SAME lod math: tight parity."""
     res = 32

@@ -148,7 +148,7 @@ def main(argv=None):
         jnp.asarray,
         build_texture_atlas([_rng.uniform(size=(512, 512, 3)).astype(F32)])))
 
-    def _texture_pass(quad):
+    def _texture_pass(quad, backend="jnp"):
         def body(i, o, d, tmax):
             # perturb by the loop index (protocol: break CSE/hoisting — an
             # i-independent body gets lifted out of the scan and
@@ -157,18 +157,22 @@ def main(argv=None):
                   + i.astype(F32) * F32(0.0101)) % 1.0
             lod = (tmax * 0 + jnp.abs(d[0] + i * F32(1e-6)) * 6.0)
             tid = jnp.zeros(o.shape[1], jnp.int32)
-            c = _sample_texture(tex_fake, tid, uv, lod, quad=quad)
+            c = _sample_texture(tex_fake, tid, uv, lod, quad=quad,
+                                backend=backend)
             return jnp.sum(c[:, :8])
         return body
 
     texture_pass = _texture_pass(True)
     texture_pass_taps = _texture_pass(False)
+    texture_pass_kernel = _texture_pass(True, backend="pallas")
 
     rows = [
         ("texture sample (quad-pack)", timed_scan(texture_pass, k, o, d,
                                                   tmax)),
         ("texture sample (4-tap)", timed_scan(texture_pass_taps, k, o, d,
                                               tmax)),
+        ("texture sample (mosaic)", timed_scan(texture_pass_kernel, k, o,
+                                               d, tmax)),
         ("tri kernel", timed_scan(tri_pass, k, o, d, tmax)),
         ("torus kernel", timed_scan(tor_pass, k, o, d, tmax)),
         ("hit (tri+torus+attrs)", timed_scan(full_hit, k, o, d, tmax)),

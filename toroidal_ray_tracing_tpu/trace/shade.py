@@ -118,6 +118,31 @@ def _tex_meta(atlas, tex_id, cols):
     return tuple(c[tex_id] for c in cols)
 
 
+def _quad_index(scene: Scene, tex_id, level, uv):
+    """Flat data4q index + bilinear fractions for one mip level (the
+    index/weight half of the quad-gather path, shared by the XLA gather
+    and the Mosaic tex kernel so the two can never drift)."""
+    off, hs, ws = _level_meta(scene.textures, tex_id, level)
+    x = (uv[0] % 1.0) * ws.astype(F32) - F32(0.5)
+    y = (uv[1] % 1.0) * hs.astype(F32) - F32(0.5)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[None, :]
+    fy = (y - y0)[None, :]
+    xi = jnp.mod(x0.astype(jnp.int32), ws)
+    yi = jnp.mod(y0.astype(jnp.int32), hs)
+    return off + yi * ws + xi, fx, fy
+
+
+def _blend_quad(q, fx, fy):
+    """Bilinear blend of one gathered quad word set. q: (3, N) u32."""
+    t00, t10, t01, t11 = (tex_dequant(q, k) for k in range(4))
+    return (t00 * (1 - fx) * (1 - fy)
+            + t10 * fx * (1 - fy)
+            + t01 * (1 - fx) * fy
+            + t11 * fx * fy)
+
+
 def _bilinear_level(scene: Scene, tex_id, level, uv, quad=None, meta=None):
     """Bilinear, repeat addressing, at one mip level of the flat atlas.
     uv: (2, N) rows; returns (3, N). quad overrides TEX_QUAD_GATHER
@@ -157,11 +182,19 @@ def _bilinear_level(scene: Scene, tex_id, level, uv, quad=None, meta=None):
             + tap(x0 + 1, y0 + 1) * fx * fy)
 
 
-def _sample_texture(scene: Scene, tex_id, uv, lod=None, quad=None):
+def _sample_texture(scene: Scene, tex_id, uv, lod=None, quad=None,
+                    valid=None, backend: str = "jnp"):
     """Trilinear mipmapped sampling — replaces the reference's mipmapped
     `texture(textureSamplers[...])` (raytrace.rchit:83; sampler with a full
     mip chain, hello_vulkan.cpp:315-339). lod=None samples level 0.
-    uv: (2, N); returns (3, N)."""
+    uv: (2, N); returns (3, N).
+
+    backend="pallas" + a VMEM-sized atlas routes BOTH trilinear taps
+    through the Mosaic gather kernel (ops/tex_kernel.py) in one launch —
+    XLA's flat-gather lowering costs ~18 ms/2M rays per tap regardless of
+    table size. valid: rays whose sample is discarded afterwards (miss /
+    untextured) — they return zero words and don't widen the kernel's
+    per-span table ranges."""
     if lod is None:
         return _bilinear_level(scene, tex_id, jnp.zeros_like(tex_id), uv,
                                quad)
@@ -170,6 +203,21 @@ def _sample_texture(scene: Scene, tex_id, uv, lod=None, quad=None):
     l0 = jnp.floor(l).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, nl - 1)
     f = (l - l0.astype(F32))[None, :]
+
+    if backend == "pallas" and (quad is None or quad):
+        from toroidal_ray_tracing_tpu.ops import tex_kernel
+
+        if tex_kernel.kernel_applicable(scene.textures):
+            i0, fx0, fy0 = _quad_index(scene, tex_id, l0, uv)
+            i1, fx1, fy1 = _quad_index(scene, tex_id, l1, uv)
+            if valid is None:
+                valid = jnp.ones(i0.shape, bool)
+            q0, q1 = tex_kernel.quad_gather_pallas(
+                scene.textures.data4q, i0, i1, valid)
+            c0 = _blend_quad(q0, fx0, fy0)
+            c1 = _blend_quad(q1, fx1, fy1)
+            return c0 * (1 - f) + c1 * f
+
     c0 = _bilinear_level(scene, tex_id, l0, uv, quad)
     c1 = _bilinear_level(scene, tex_id, l1, uv, quad)
     return c0 * (1 - f) + c1 * f
@@ -314,7 +362,9 @@ def _shade_common(scene, settings, origins, dirs, hit, missed, is_tor,
         dim0 = dim0.astype(F32)
         lod = mip_lod(jnp, hit.t, jnp.asarray(settings.pixel_spread, F32),
                       tex_density, dim0)
-        texel = _sample_texture(scene, tid, tri_uv, lod)
+        texel = _sample_texture(scene, tid, tri_uv, lod,
+                                valid=(tex_id >= 0) & ~missed,
+                                backend=backend)
         diffuse = jnp.where((tex_id >= 0)[None, :], diffuse * texel, diffuse)
 
     # --- shadow ray (rchit:89-120): only where dot(N, L) > 0 ---
