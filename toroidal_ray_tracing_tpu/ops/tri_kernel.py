@@ -30,14 +30,20 @@ RAY_TILE = 2048      # rays per grid step (triangle kernel; lane axis) —
                      # grid steps, wider VPU rows); 4096 exceeds VMEM
 
 TRI_SUB = int(os.environ.get("TRT_TRI_SUB", "128"))
-                       # rays per Woop sub-span in gated mode. Wider spans
-                       # amortize the ~1.4 us/dispatch fixed cost (the same
-                       # mechanism that bought config 4 +9.5% via
-                       # TRT_TORUS_SUB=512) at the price of coarser exact
-                       # visit bits (more rays charged per candidate
-                       # cluster). Env knob TRT_TRI_SUB for hardware A/B
-                       # (scripts/tri_sub_ab.py); parity pinned per width
-                       # by tests/test_pallas.py.
+                       # rays per Woop sub-span in gated mode. Swept on
+                       # hardware (scripts/tri_sub_ab.py + end-to-end,
+                       # PERF.md round 4): on DENSE primary-ray passes
+                       # closest-hit is span-invariant (23.4 ms at both
+                       # 128/1024 and 512/2048; Woop-work-bound, unlike
+                       # the latency-bound torus quartic) and any-hit
+                       # improves ~8% with width — but the FRAME regresses
+                       # 17% at (512, 2048) (config 6 sequence 65.4 ->
+                       # 53.9 Mrays/s, same session): later bounces are
+                       # sparse, and 4x-coarser span candidate bits charge
+                       # a whole 512-lane span's Woop work where ~128
+                       # lanes have candidates. 128 stays the default;
+                       # env knobs TRT_TRI_SUB / TRT_TRI_TILE for A/B,
+                       # parity pinned per width by tests/test_pallas.py.
 TRI_RAY_TILE_GATED = int(os.environ.get("TRT_TRI_TILE", "1024"))
                        # rays per grid step in gated mode (TRT_TRI_TILE)
 TRI_OCCL_NOGATE = os.environ.get("TRT_TRI_OCCL_NOGATE", "0") == "1"
