@@ -56,8 +56,16 @@ TRI_OCCL_NOGATE = os.environ.get("TRT_TRI_OCCL_NOGATE", "0") == "1"
                        # occlusion rate as pure overhead (TORUS_OCCL_EARLY
                        # note). A/B knob for config 6's 20.6 ms shadow
                        # pass (VERDICT r3 #1); flipped by measurement.
-TRI_GATE_MIN = 8192    # tris: below this the XLA visit-list gate costs
-                       # more than the short cluster walk it would prune
+TRI_GATE_MIN = int(os.environ.get("TRT_TRI_GATE_MIN", "2048"))
+                       # tris: below this the XLA visit-list gate costs
+                       # more than the short cluster walk it would prune.
+                       # Was 8192; config 7's 4096-tri mesh measured +17.5%
+                       # end-to-end with the gate forced on (42.3 -> 49.8
+                       # Mrays/s sequence, same session) — its 33-cluster
+                       # ungated walk pays a per-(tile, cluster) slab +
+                       # reduce chain every tile while the exact gate costs
+                       # ~2 ms/2M rays once per pass. Env knob
+                       # TRT_TRI_GATE_MIN.
 TRI_MERGED = False     # single (8, 6C) x (8, sub) contraction instead of
                        # six K=4 dots — measured NEUTRAL-to-slightly-slower
                        # on v5e (the kernel is VPU-epilogue-bound, not
