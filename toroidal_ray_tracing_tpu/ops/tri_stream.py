@@ -9,6 +9,7 @@ VMEM scratch (the BLAS analog for driver-managed huge meshes, SURVEY.md
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,14 +27,26 @@ TRI_STREAM_MIN = 65536   # tris: above this the resident kernel's VMEM
                          # in HBM and superblocks stream through a double-
                          # buffered VMEM scratch (the BLAS analog for
                          # driver-managed huge meshes, SURVEY.md §2B)
-STREAM_GATE_BOXES = 512  # superblock-count target for the XLA gate: keeps
-                         # the O(boxes x rays) exact gate at ~2.8x the
-                         # 23k-tri ladder mesh's measured 4.7 ms/2M rays
-STREAM_MAX_SB = 4096     # tris per superblock cap (DMA block ~1 MB: 2x
-                         # (24+37, SB) f32 double-buffered scratch)
+STREAM_GATE_BOXES = int(os.environ.get("TRT_STREAM_BOXES", "512"))
+                         # superblock-count target for the XLA gate for
+                         # SMALL streamed meshes (the SB cap below binds
+                         # first on big ones). Env knob TRT_STREAM_BOXES.
+STREAM_MAX_SB = int(os.environ.get("TRT_STREAM_SB", "512"))
+                         # tris per superblock cap. Swept end-to-end on
+                         # config 8 (1.18M tris, 1080p sequence, same
+                         # session): 3456 (old default) = 3.7 Mrays/s,
+                         # 2048 = 4.9, 1024 = 7.0, **512 = 12.9**,
+                         # 256 = 9.5 (the O(S x rays) exact gate starts
+                         # to dominate). Coarse blocks brute-force whole
+                         # superblocks per visited span — the roofline
+                         # model (cluster-granularity) implied ~27x
+                         # overtest at 3456. Env knob TRT_STREAM_SB.
+                         # (Meshes >>10M tris will want a hierarchical
+                         # gate before more SB shrinking: S = C/4 boxes
+                         # make the gate itself O(S x N).)
 
 
-def _tri_stream_kernel(visit_ref, slo_ref, shi_ref, o_ref, d_ref, tmax_ref,
+def _tri_stream_kernel(visit_ref, box_ref, o_ref, d_ref, tmax_ref,
                        w24_ref, *refs, sb_tris: int, sub: int,
                        emit_attrs: bool, occlusion: bool):
     """One grid step = one ray tile, walking its SUPERBLOCK visit list with
@@ -43,6 +56,12 @@ def _tri_stream_kernel(visit_ref, slo_ref, shi_ref, o_ref, d_ref, tmax_ref,
     per 128-lane span (gate over superblock AABBs), a dispatched
     (superblock, span) re-runs the slab against the running best from SMEM
     boxes, then one Woop pass over the whole streamed block.
+
+    box_ref: (1, 6*Sp) f32 SMEM — superblock AABBs packed flat
+    [lo0 lo1 lo2 hi0 hi1 hi2]*S. (A (S, 3) SMEM table pads every row to
+    128 lanes — 42x waste, 836 KB at S=1670, straight past the 1 MB SMEM
+    budget; the flat row packs densely, so superblock counts up to ~40k
+    fit.)
 
     The DMA for visit entry v+1 is issued before entry v is processed, so
     at ~1.5 us of HBM traffic per block the copies hide behind the
@@ -95,17 +114,19 @@ def _tri_stream_kernel(visit_ref, slo_ref, shi_ref, o_ref, d_ref, tmax_ref,
         else:
             bound = jnp.minimum(t_cur, tmax)
 
-        # span-vs-superblock slab against the running best (SMEM boxes)
+        # span-vs-superblock slab against the running best (SMEM boxes,
+        # flat-packed: [lo0 lo1 lo2 hi0 hi1 hi2] at 6*c)
         ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]
         invx = _inv_dir(d[0:1])
         invy = _inv_dir(d[1:2])
         invz = _inv_dir(d[2:3])
-        t0x = (slo_ref[c, 0] - ox) * invx
-        t1x = (shi_ref[c, 0] - ox) * invx
-        t0y = (slo_ref[c, 1] - oy) * invy
-        t1y = (shi_ref[c, 1] - oy) * invy
-        t0z = (slo_ref[c, 2] - oz) * invz
-        t1z = (shi_ref[c, 2] - oz) * invz
+        b6 = 6 * c
+        t0x = (box_ref[0, b6 + 0] - ox) * invx
+        t1x = (box_ref[0, b6 + 3] - ox) * invx
+        t0y = (box_ref[0, b6 + 1] - oy) * invy
+        t1y = (box_ref[0, b6 + 4] - oy) * invy
+        t0z = (box_ref[0, b6 + 2] - oz) * invz
+        t1z = (box_ref[0, b6 + 5] - oz) * invz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.minimum(t0z, t1z))
@@ -265,6 +286,11 @@ def tri_closest_hit_stream(origins, dirs, tmax, woop_o, woop_d,
     vids, vbits, cnt = _chunk_visit_lists(origins, dirs, tmax, sb_lo, sb_hi,
                                           rank, ray_tile, sub)
     packed, visit_spec = _pack_visit_rows(vids, vbits, cnt, nt, S)
+    # superblock boxes flat-packed for SMEM (see _tri_stream_kernel)
+    box6 = jnp.concatenate([sb_lo, sb_hi], axis=1).reshape(1, 6 * S)
+    pad6 = (-6 * S) % 128
+    if pad6:
+        box6 = jnp.concatenate([box6, jnp.zeros((1, pad6), F32)], axis=1)
 
     ray_spec = pl.BlockSpec((4, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
@@ -273,8 +299,8 @@ def tri_closest_hit_stream(origins, dirs, tmax, woop_o, woop_d,
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    in_specs = [visit_spec, smem, smem, ray_spec, ray_spec, row_spec, hbm]
-    operands = [packed, sb_lo, sb_hi, oh, d4, tm, w24]
+    in_specs = [visit_spec, smem, ray_spec, ray_spec, row_spec, hbm]
+    operands = [packed, box6, oh, d4, tm, w24]
     out_specs = [row_spec, row_spec, row_spec, row_spec]
     out_shape = [
         jax.ShapeDtypeStruct((1, n), F32),
