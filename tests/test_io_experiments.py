@@ -250,14 +250,15 @@ class TestExperiments:
     def test_scenario_table(self):
         from toroidal_ray_tracing_tpu.experiments.configs import SCENARIOS
 
-        # 1-5 are the BASELINE ladder; 6 (tessellated mesh) and 7
-        # (textured) are extensions
-        assert sorted(SCENARIOS) == [1, 2, 3, 4, 5, 6, 7]
+        # 1-5 are the BASELINE ladder; 6 (tessellated mesh), 7
+        # (textured) and 8 (>1M-tri streamed mesh) are extensions
+        assert sorted(SCENARIOS) == [1, 2, 3, 4, 5, 6, 7, 8]
         assert SCENARIOS[3].width == 1920 and SCENARIOS[3].max_depth == 3
         assert SCENARIOS[4].max_depth == 5
         assert SCENARIOS[5].width == 3840 and SCENARIOS[5].spp > 1
         assert SCENARIOS[6].name.startswith("config6_mesh")
         assert SCENARIOS[7].name.startswith("config7_textured")
+        assert SCENARIOS[8].name.startswith("config8_streamed")
 
     def test_textured_scene_reachable_from_experiment_clis(self):
         """The textured workload is selectable wherever the reference's
