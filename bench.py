@@ -148,7 +148,10 @@ def _write_ladder(backend, headline, headline_mfu, headline_speedup):
         sc = SCENARIOS[n]
         scene = sc.build()
         rays = _scenario_rays(sc)
-        frames = None if sc.animate_frames else 6
+        # batch size for the render_frames front-door row: small frames
+        # need more frames per dispatch to amortize the tunnel RTT
+        # (config 1 = 72k rays/frame: 6 frames is still RTT-floor-bound)
+        frames = None if sc.animate_frames else {1: 48, 2: 12}.get(n, 6)
         _, stats = run_scenario(n, backend=backend, frames=frames)
         row = dict(stats)
         if "mrays_per_s" in stats:

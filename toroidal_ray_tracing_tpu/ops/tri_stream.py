@@ -31,6 +31,17 @@ STREAM_GATE_BOXES = int(os.environ.get("TRT_STREAM_BOXES", "512"))
                          # superblock-count target for the XLA gate for
                          # SMALL streamed meshes (the SB cap below binds
                          # first on big ones). Env knob TRT_STREAM_BOXES.
+STREAM_NOGATE = os.environ.get("TRT_STREAM_NOGATE", "0") == "1"
+                         # skip the in-kernel span-vs-superblock slab +
+                         # vector->scalar reduce and run the Woop pass
+                         # unconditionally on every visited (block, span):
+                         # at SB = 512 the (512, 128) Woop is ~0.5 us while
+                         # the slab + reduce chain is ~1.1 us — the gate
+                         # can cost more than the work it prunes. A/B knob.
+STREAM_SUB = int(os.environ.get("TRT_STREAM_SUB", "0"))
+                         # override the span width (0 = TRI_SUB default):
+                         # wider spans amortize the per-dispatch floor at
+                         # proportionally more Woop work per dispatch.
 STREAM_MAX_SB = int(os.environ.get("TRT_STREAM_SB", "512"))
                          # tris per superblock cap. Swept end-to-end on
                          # config 8 (1.18M tris, 1080p sequence, same
@@ -114,27 +125,35 @@ def _tri_stream_kernel(visit_ref, box_ref, o_ref, d_ref, tmax_ref,
         else:
             bound = jnp.minimum(t_cur, tmax)
 
-        # span-vs-superblock slab against the running best (SMEM boxes,
-        # flat-packed: [lo0 lo1 lo2 hi0 hi1 hi2] at 6*c)
-        ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]
-        invx = _inv_dir(d[0:1])
-        invy = _inv_dir(d[1:2])
-        invz = _inv_dir(d[2:3])
-        b6 = 6 * c
-        t0x = (box_ref[0, b6 + 0] - ox) * invx
-        t1x = (box_ref[0, b6 + 3] - ox) * invx
-        t0y = (box_ref[0, b6 + 1] - oy) * invy
-        t1y = (box_ref[0, b6 + 4] - oy) * invy
-        t0z = (box_ref[0, b6 + 2] - oz) * invz
-        t1z = (box_ref[0, b6 + 5] - oz) * invz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        box_hit = (tn <= jnp.minimum(tf, bound)) \
-            & (tf >= TMIN) & (tmax > TMIN)        # (1, sub)
+        if STREAM_NOGATE:
+            # exact visit bits already gate the dispatch; the Woop hit
+            # check below still bounds by tmax, and the argmin/any-hit
+            # accumulators absorb redundant finds — `bound` pruning is a
+            # perf device only, never a correctness one
+            del bound
+            box_hit = None
+        else:
+            # span-vs-superblock slab against the running best (SMEM
+            # boxes, flat-packed: [lo0 lo1 lo2 hi0 hi1 hi2] at 6*c)
+            ox, oy, oz = oh[0:1], oh[1:2], oh[2:3]
+            invx = _inv_dir(d[0:1])
+            invy = _inv_dir(d[1:2])
+            invz = _inv_dir(d[2:3])
+            b6 = 6 * c
+            t0x = (box_ref[0, b6 + 0] - ox) * invx
+            t1x = (box_ref[0, b6 + 3] - ox) * invx
+            t0y = (box_ref[0, b6 + 1] - oy) * invy
+            t1y = (box_ref[0, b6 + 4] - oy) * invy
+            t0z = (box_ref[0, b6 + 2] - oz) * invz
+            t1z = (box_ref[0, b6 + 5] - oz) * invz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            box_hit = (tn <= jnp.minimum(tf, bound)) \
+                & (tf >= TMIN) & (tmax > TMIN)        # (1, sub)
 
         def _run_woop():
             hp = jax.lax.Precision.HIGHEST
@@ -198,7 +217,10 @@ def _tri_stream_kernel(visit_ref, box_ref, o_ref, d_ref, tmax_ref,
                 attr_cur = attr_out[:, ls]
                 attr_out[:, ls] = jnp.where(better, new, attr_cur)
 
-        pl.when(jnp.any(box_hit))(_run_woop)
+        if box_hit is None:
+            _run_woop()
+        else:
+            pl.when(jnp.any(box_hit))(_run_woop)
 
     @pl.when(cnt > 0)
     def _prologue():
@@ -250,7 +272,8 @@ def tri_closest_hit_stream(origins, dirs, tmax, woop_o, woop_d,
     Tp = S * sb_tris
 
     ray_tile = min(ray_tile, n)
-    sub = TRI_SUB if ray_tile % TRI_SUB == 0 else ray_tile
+    sub0 = STREAM_SUB or TRI_SUB
+    sub = sub0 if ray_tile % sub0 == 0 else ray_tile
     assert n % ray_tile == 0 and ray_tile // sub <= MAX_SPANS
     nt = n // ray_tile
 
