@@ -174,6 +174,57 @@ def test_gated_tri_span_widths_match(monkeypatch, sub, tile):
     np.testing.assert_array_equal(ref[1][0] < 1e30, wide[1][0] < 1e30)
 
 
+def test_hier_visit_lists_match_dense():
+    """_chunk_visit_lists_hier (interval L1 + exact top-k L2) must equal
+    the dense exact gate bit-for-bit when no span overflows maxv, and be
+    a SUPERSET otherwise — including NaN-direction and dead (tmax=0)
+    rays, which must not poison any span's interval."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops.kernel_common import (
+        _chunk_visit_lists, _chunk_visit_lists_hier)
+
+    rng = np.random.default_rng(9)
+    C = 96
+    centers = rng.uniform(-12, 12, (C, 3)).astype(np.float32)
+    half = rng.uniform(0.2, 1.2, (C, 3)).astype(np.float32)
+    clo = jnp.asarray(centers - half)
+    chi = jnp.asarray(centers + half)
+    rank = jnp.asarray(rng.permutation(C).astype(np.int32))
+
+    n = 8192
+    o = rng.normal(size=(3, n)).astype(np.float32) * 10.0
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    tmax = np.full((n,), 1e4, np.float32)
+    tmax[::11] = 0.0                       # dead rays
+    d[:, 7::29] = np.nan                   # eye==center raygen rows
+    o_j, d_j, tm = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax)
+
+    dense = _chunk_visit_lists(o_j, d_j, tm, clo, chi, rank, 1024, 128)
+    hier = _chunk_visit_lists_hier(o_j, d_j, tm, clo, chi, rank, 1024, 128,
+                                   maxv=C)    # maxv = C: no overflow
+    for a, b in zip(dense, hier):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # small maxv: overflow spans fall back to L1 — result must be a
+    # SUPERSET of the dense bits per (tile, chunk)
+    hier8 = _chunk_visit_lists_hier(o_j, d_j, tm, clo, chi, rank, 1024,
+                                    128, maxv=8)
+
+    def dense_bits(ids, bits, cnt):
+        nt = ids.shape[0]
+        out = np.zeros((nt, C), np.int32)
+        for t in range(nt):
+            for e in range(int(cnt[t, 0])):
+                out[t, int(ids[t, e])] = int(bits[t, e])
+        return out
+
+    db = dense_bits(*[np.asarray(x) for x in dense])
+    hb = dense_bits(*[np.asarray(x) for x in hier8])
+    assert ((db & ~hb) == 0).all(), "hier dropped an exact candidate"
+
+
 def test_tri_occl_nogate_matches(monkeypatch):
     """TRI_OCCL_NOGATE (gated any-hit dispatches skip the in-kernel slab +
     reduce) must leave the occlusion MASK exactly unchanged — the slab is

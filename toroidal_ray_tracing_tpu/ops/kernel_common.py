@@ -173,7 +173,14 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     span_mask = jax.lax.map(
         block, (clo_b.reshape(-1, B, 3), chi_b.reshape(-1, B, 3)))
     span_mask = span_mask.reshape(Cb, S)[:C].T       # (S, C)
+    return _span_mask_to_lists(span_mask, rank, nt, n_sub)
 
+
+def _span_mask_to_lists(span_mask, rank, nt, n_sub):
+    """(spans, C) per-span candidate mask -> per-TILE compacted visit
+    lists (the sort/pack tail shared by the dense and hierarchical
+    gates). Returns (ids (nt, C), bits (nt, C), cnt (nt, 1)) i32."""
+    C = span_mask.shape[1]
     spm = span_mask.reshape(nt, n_sub, C)
     anym = jnp.any(spm, axis=1)                      # (nt, C)
     bits = jnp.zeros((nt, C), jnp.int32)
@@ -185,3 +192,134 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     _, ids, bits = jax.lax.sort((key, ids, bits), dimension=1, num_keys=1)
     cnt = jnp.sum(anym, axis=1).astype(jnp.int32)[:, None]
     return ids, bits, cnt
+
+
+def _chunk_visit_lists_hier(origins, dirs, tmax, clo, chi, rank, ray_tile,
+                            sub, maxv: int = 32):
+    """Hierarchical variant of _chunk_visit_lists for LARGE box counts.
+
+    The dense gate's cost is O(C x N) exact slabs — 53 ms per 2M-ray pass
+    at C = 3340 (config 8). This computes the same per-span candidate
+    bits in two levels:
+
+      L1 — conservative interval-frustum test per (span, box): each
+      128-ray span is summarized by per-component origin/inv-direction
+      intervals over its VALID rays (NaN/dead rays masked out so they
+      can't poison the interval), and the slab evaluates in interval
+      arithmetic (4-product bounds; inv intervals straddling zero blow
+      up to +/-inf = conservative pass). O(C x spans) — 128x fewer pairs
+      than the dense gate. Strictly a SUPERSET of the exact per-ray test.
+      (Interval gates were measured 4.3x looser than exact as FINAL
+      lists — here they only feed L2, so looseness costs L2 flops, not
+      kernel dispatches.)
+
+      L2 — exact per-ray slab, but only on each span's top-`maxv`
+      front-to-back L1 candidates (lax.top_k + a row gather of their
+      boxes): O(N x maxv). Spans whose L1 candidate count exceeds maxv
+      fall back to their (conservative) L1 bits — correctness never
+      depends on maxv, only the kernel's visit efficiency.
+
+    Same return contract as _chunk_visit_lists; with no L1 overflow the
+    output is BIT-IDENTICAL to the dense gate (L1 superset + L2 exact).
+    """
+    C = clo.shape[0]
+    n = origins.shape[1]
+    Sp = n // sub
+    nt = n // ray_tile
+    n_sub = ray_tile // sub
+    assert n_sub <= MAX_SPANS, n_sub
+
+    inv = jnp.stack([_inv_dir(dirs[k]) for k in range(3)])     # (3, N)
+    tm = jnp.minimum(tmax, BIG)
+    valid = (jnp.isfinite(origins).all(axis=0)
+             & jnp.isfinite(dirs).all(axis=0) & (tm > TMIN))   # (N,)
+
+    def _ival(a):
+        av = a.reshape(3, Sp, sub)
+        m = valid.reshape(1, Sp, sub)
+        lo = jnp.min(jnp.where(m, av, BIG), axis=2)            # (3, Sp)
+        hi = jnp.max(jnp.where(m, av, -BIG), axis=2)
+        return lo, hi
+
+    o_lo, o_hi = _ival(origins)
+    i_lo, i_hi = _ival(inv)
+    tm_ub = jnp.max(jnp.where(valid, tm, 0.0).reshape(Sp, sub), axis=1)
+    any_valid = jnp.any(valid.reshape(Sp, sub), axis=1)
+
+    # L1: (Sp, C) conservative bits, blocked over boxes
+    B = 32
+    Cb = ((C + B - 1) // B) * B
+    if Cb != C:
+        pad = jnp.full((Cb - C, 3), F32(2.0e38))
+        clo_b = jnp.concatenate([clo, pad])
+        chi_b = jnp.concatenate([chi, pad])
+    else:
+        clo_b, chi_b = clo, chi
+
+    def l1_block(boxes):
+        lo_b, hi_b = boxes                                     # (B, 3)
+        tn_lb = jnp.full((B, Sp), -BIG)
+        tf_ub = jnp.full((B, Sp), BIG)
+        for a in range(3):
+            pmins, pmaxs = [], []
+            for b in (lo_b[:, a:a + 1], hi_b[:, a:a + 1]):     # (B, 1)
+                u1 = b - o_hi[a][None, :]                      # (B, Sp)
+                u2 = b - o_lo[a][None, :]
+                p = [u1 * i_lo[a][None, :], u1 * i_hi[a][None, :],
+                     u2 * i_lo[a][None, :], u2 * i_hi[a][None, :]]
+                pmins.append(jnp.minimum(jnp.minimum(p[0], p[1]),
+                                         jnp.minimum(p[2], p[3])))
+                pmaxs.append(jnp.maximum(jnp.maximum(p[0], p[1]),
+                                         jnp.maximum(p[2], p[3])))
+            tn_lb = jnp.maximum(tn_lb, jnp.minimum(pmins[0], pmins[1]))
+            tf_ub = jnp.minimum(tf_ub, jnp.maximum(pmaxs[0], pmaxs[1]))
+        return ((tn_lb <= jnp.minimum(tf_ub, tm_ub[None, :]))
+                & (tf_ub >= TMIN) & any_valid[None, :])        # (B, Sp)
+
+    cand = jax.lax.map(l1_block, (clo_b.reshape(-1, B, 3),
+                                  chi_b.reshape(-1, B, 3)))
+    cand = cand.reshape(Cb, Sp)[:C].T                          # (Sp, C)
+
+    # top-maxv candidates per span, front-to-back
+    sel_key = jnp.where(cand, (C - rank)[None, :], -1)         # (Sp, C)
+    topv, ids = jax.lax.top_k(sel_key, maxv)                   # (Sp, maxv)
+    entry_ok = topv >= 0
+    n_cand = jnp.sum(cand, axis=1)                             # (Sp,)
+    overflow = n_cand > maxv
+
+    # L2: exact per-ray slab on the candidates, blocked over span chunks
+    blo = clo[ids]                                             # (Sp, V, 3)
+    bhi = chi[ids]
+    SPC = 2048 if Sp % 2048 == 0 else (1024 if Sp % 1024 == 0 else Sp)
+    nchunks = Sp // SPC
+
+    def l2_chunk(args):
+        lo_c, hi_c, o_c, i_c, tm_c = args
+        # lo/hi: (SPC, V, 3); o/i: (3, SPC, sub); tm: (SPC, sub)
+        tn = jnp.full((SPC, maxv, sub), -BIG)
+        tf = jnp.full((SPC, maxv, sub), BIG)
+        for a in range(3):
+            t0 = (lo_c[:, :, a, None] - o_c[a][:, None, :]) \
+                * i_c[a][:, None, :]
+            t1 = (hi_c[:, :, a, None] - o_c[a][:, None, :]) \
+                * i_c[a][:, None, :]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hit = (tn <= jnp.minimum(tf, tm_c[:, None, :])) & (tf >= TMIN) \
+            & (tm_c[:, None, :] > TMIN)
+        return jnp.any(hit, axis=2)                            # (SPC, V)
+
+    exact = jax.lax.map(l2_chunk, (
+        blo.reshape(nchunks, SPC, maxv, 3),
+        bhi.reshape(nchunks, SPC, maxv, 3),
+        origins.reshape(3, nchunks, SPC, sub).transpose(1, 0, 2, 3),
+        inv.reshape(3, nchunks, SPC, sub).transpose(1, 0, 2, 3),
+        tm.reshape(nchunks, SPC, sub),
+    )).reshape(Sp, maxv)
+    exact = exact & entry_ok
+
+    # densify back to (Sp, C) and apply the overflow fallback (L1 bits)
+    span_rows = jnp.broadcast_to(jnp.arange(Sp)[:, None], (Sp, maxv))
+    span_mask = jnp.zeros((Sp, C), bool).at[span_rows, ids].max(exact)
+    span_mask = jnp.where(overflow[:, None], cand, span_mask)
+    return _span_mask_to_lists(span_mask, rank, nt, n_sub)

@@ -17,8 +17,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from toroidal_ray_tracing_tpu.ops.kernel_common import (
-    _DN0, BIG, F32, MAX_SPANS, TMIN, _chunk_visit_lists, _interpret,
-    _inv_dir, _pack_visit_rows, _rays_to_rows)
+    _DN0, BIG, F32, MAX_SPANS, TMIN, _chunk_visit_lists,
+    _chunk_visit_lists_hier, _interpret, _inv_dir, _pack_visit_rows,
+    _rays_to_rows)
 from toroidal_ray_tracing_tpu.ops.tri_kernel import TRI_SUB
 
 TRI_STREAM_MIN = 65536   # tris: above this the resident kernel's VMEM
@@ -31,6 +32,13 @@ STREAM_GATE_BOXES = int(os.environ.get("TRT_STREAM_BOXES", "512"))
                          # superblock-count target for the XLA gate for
                          # SMALL streamed meshes (the SB cap below binds
                          # first on big ones). Env knob TRT_STREAM_BOXES.
+STREAM_HIER_MIN = int(os.environ.get("TRT_STREAM_HIER", "1024"))
+                         # superblock count above which the exact XLA gate
+                         # runs HIERARCHICALLY (_chunk_visit_lists_hier:
+                         # conservative interval L1 per span + exact L2 on
+                         # top-32 candidates) instead of dense O(S x rays).
+                         # Dense measured 53 ms/pass at S = 3340 (config
+                         # 8); 0 disables (always dense) for A/B.
 STREAM_NOGATE = os.environ.get("TRT_STREAM_NOGATE", "0") == "1"
                          # skip the in-kernel span-vs-superblock slab +
                          # vector->scalar reduce and run the Woop pass
@@ -306,8 +314,11 @@ def tri_closest_hit_stream(origins, dirs, tmax, woop_o, woop_d,
         jnp.maximum(jnp.maximum(sb_lo - mean_o[None, :],
                                 mean_o[None, :] - sb_hi), 0.0), axis=1)
     rank = jnp.argsort(jnp.argsort(cdist)).astype(jnp.int32)
-    vids, vbits, cnt = _chunk_visit_lists(origins, dirs, tmax, sb_lo, sb_hi,
-                                          rank, ray_tile, sub)
+    gate = (_chunk_visit_lists_hier
+            if STREAM_HIER_MIN and S >= STREAM_HIER_MIN
+            else _chunk_visit_lists)
+    vids, vbits, cnt = gate(origins, dirs, tmax, sb_lo, sb_hi,
+                            rank, ray_tile, sub)
     packed, visit_spec = _pack_visit_rows(vids, vbits, cnt, nt, S)
     # superblock boxes flat-packed for SMEM (see _tri_stream_kernel)
     box6 = jnp.concatenate([sb_lo, sb_hi], axis=1).reshape(1, 6 * S)
