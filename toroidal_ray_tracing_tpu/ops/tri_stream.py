@@ -32,13 +32,20 @@ STREAM_GATE_BOXES = int(os.environ.get("TRT_STREAM_BOXES", "512"))
                          # superblock-count target for the XLA gate for
                          # SMALL streamed meshes (the SB cap below binds
                          # first on big ones). Env knob TRT_STREAM_BOXES.
-STREAM_HIER_MIN = int(os.environ.get("TRT_STREAM_HIER", "1024"))
+STREAM_HIER_MIN = int(os.environ.get("TRT_STREAM_HIER", "0"))
                          # superblock count above which the exact XLA gate
                          # runs HIERARCHICALLY (_chunk_visit_lists_hier:
                          # conservative interval L1 per span + exact L2 on
                          # top-32 candidates) instead of dense O(S x rays).
-                         # Dense measured 53 ms/pass at S = 3340 (config
-                         # 8); 0 disables (always dense) for A/B.
+                         # MEASURED AND DISABLED on config 8 (PERF.md
+                         # round 4): the hier gate only reached 47.4 ms vs
+                         # 52.9 dense (top_k + scatter swallow the L1
+                         # pair savings) while interval-L1 overflow
+                         # fallbacks inflated kernel span-dispatches 2.3x
+                         # (33.3k -> 77.9k) — end-to-end 12.9 -> 11.7
+                         # Mrays/s. Kept behind TRT_STREAM_HIER (=min S)
+                         # for meshes where S >> 3340 flips the trade;
+                         # 0 = always dense.
 STREAM_NOGATE = os.environ.get("TRT_STREAM_NOGATE", "0") == "1"
                          # skip the in-kernel span-vs-superblock slab +
                          # vector->scalar reduce and run the Woop pass
