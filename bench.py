@@ -148,10 +148,15 @@ def _write_ladder(backend, headline, headline_mfu, headline_speedup):
         sc = SCENARIOS[n]
         scene = sc.build()
         rays = _scenario_rays(sc)
-        # batch size for the render_frames front-door row: small frames
-        # need more frames per dispatch to amortize the tunnel RTT
-        # (config 1 = 72k rays/frame: 6 frames is still RTT-floor-bound)
-        frames = None if sc.animate_frames else {1: 48, 2: 12}.get(n, 6)
+        # batch size for the render_frames front-door row: the window must
+        # be large enough that the ONE ~37 ms dispatch+fetch RTT per batch
+        # is a small fraction of it, or the row measures the tunnel, not
+        # the renderer. Config 1 at the old 48 frames had a HARD ceiling of
+        # 48 x 72k rays / 37 ms = 94 Mrays/s with an infinitely fast
+        # device (scripts/batch_gap_diag.py, PERF.md round 5); the
+        # reference's own loop renders 780 frames with no host sync
+        # (main.cpp:337-341). Windows sized so RTT <= ~10%.
+        frames = None if sc.animate_frames else {1: 240, 2: 24, 4: 12}.get(n, 6)
         _, stats = run_scenario(n, backend=backend, frames=frames)
         row = dict(stats)
         if "mrays_per_s" in stats:

@@ -160,6 +160,22 @@ def main():
         dt, total = _timed(run_probe)
         report(mode, dt, total)
 
+    # _frames_jit direct (prebuilt param stack): isolates the host-side
+    # per-call prep in render_frames (ray_params + np.stack + device_put)
+    # from the device pipeline
+    from toroidal_ray_tracing_tpu.render.renderer import _frames_jit
+
+    for name, dumps in (("fj", True), ("fj0", False)):
+        def run_fj(dumps=dumps):
+            total, _ = _frames_jit(scene, st, stack,
+                                   jax.random.PRNGKey(0), cam_cls,
+                                   sc.width, sc.height, args.backend,
+                                   sc.spp, dumps, group=1)
+            return float(total)
+
+        dt, total = _timed(run_fj)
+        report(name, dt, total)
+
     for dumps in (True, False):
         def run_frames(dumps=dumps):
             out = render_frames(scene, cams, sc.width, sc.height, st,

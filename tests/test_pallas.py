@@ -337,6 +337,37 @@ def test_streamed_occlusion_matches_resident():
                                   np.asarray(out[0]) < 1e30)
 
 
+def test_streamed_grouped_overflow_falls_back(monkeypatch):
+    """When a group's superblock union exceeds the SMEM row cap
+    (STREAM_VCAP), the lax.cond fallback must run the per-tile kernel —
+    same results, never dropped work."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import tri_stream
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+
+    scene = build_scene(procedural.scene_multi_torus(False))
+    geom = isect.geom_from_scene(scene)
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    # a fresh tile-aligned ray-count (128x32) so the monkeypatched cap
+    # isn't masked by the jit cache of earlier same-shape calls
+    o, d = cam.generate_rays(128, 32, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+    monkeypatch.setattr(tri_stream, "STREAM_VCAP", 1)
+    ref = tk.tri_closest_hit_pallas(
+        o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+        geom.cluster_hi, scene.cluster_size)
+    out = tri_stream.tri_closest_hit_stream(
+        o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+        geom.cluster_hi, scene.cluster_size)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+
+
 def test_loose_triangle_hoist_matches_jnp():
     """Loose tail rows (scene.loose_tris — e.g. the 2-triangle ground plane
     of the mesh ladder scene, build._split_loose_clusters) are brute-forced

@@ -77,9 +77,11 @@ def test_sequence_spp_jitter(setup):
 @pytest.mark.parametrize("backend", ["jnp", "pallas"])
 def test_render_frames_matches_per_frame(setup, backend):
     """render_frames (the one-dispatch multi-frame front door) must return
-    the SAME full RenderedData quartet as per-frame render() calls."""
+    the SAME full RenderedData quartet as per-frame render() calls —
+    channel-major (F, 3, H, W); np.moveaxis restores channels-last."""
     scene, st, cams = setup
     batch = render_frames(scene, cams, RES, RES, st, backend=backend)
+    assert np.asarray(batch["images"]).shape == (len(cams), 3, RES, RES)
     total = 0.0
     for f, cam in enumerate(cams):
         out = render(scene, cam, RES, RES, st, backend=backend)
@@ -87,8 +89,8 @@ def test_render_frames_matches_per_frame(setup, backend):
                            ("hit_positions", "hit_position"),
                            ("ray_origins", "ray_origin"),
                            ("ray_dirs", "ray_dir")):
-            err = float(np.abs(np.asarray(batch[bkey][f])
-                               - np.asarray(out[rkey])).max())
+            got = np.moveaxis(np.asarray(batch[bkey][f]), 0, -1)
+            err = float(np.abs(got - np.asarray(out[rkey])).max())
             assert err < 1e-6, f"frame {f} {bkey}: {err}"
         total += float(out["rays_traced"])
     assert float(batch["rays_traced"]) == total
@@ -98,6 +100,13 @@ def test_render_frames_matches_per_frame(setup, backend):
     assert "hit_positions" not in lite
     np.testing.assert_array_equal(np.asarray(lite["images"]),
                                   np.asarray(batch["images"]))
+    # frame grouping (auto for small frames) must be invisible in outputs
+    solo = render_frames(scene, cams, RES, RES, st, backend=backend,
+                         frames_per_batch=1)
+    err = float(np.abs(np.asarray(solo["images"])
+                       - np.asarray(batch["images"])).max())
+    assert err < 1e-6, err
+    assert float(solo["rays_traced"]) == float(batch["rays_traced"])
 
 
 def test_render_frames_spp(setup):
@@ -106,7 +115,7 @@ def test_render_frames_spp(setup):
     scene, st, cams = setup
     batch = render_frames(scene, cams[:1], RES, RES, st, spp=2, seed=3)
     one = render(scene, cams[0], RES, RES, st, spp=2, seed=3)
-    err = float(np.abs(np.asarray(batch["images"][0])
+    err = float(np.abs(np.moveaxis(np.asarray(batch["images"][0]), 0, -1)
                        - np.asarray(one["image"])).max())
     assert err < 1e-6, err
     assert float(batch["rays_traced"]) == float(one["rays_traced"])

@@ -61,6 +61,22 @@ def block_unswizzle(xp, a, width: int, height: int, block: int):
     return xp.transpose(a, (0, 2, 1, 3, 4)).reshape(height, width, c)
 
 
+def block_unswizzle_rows(xp, a, width: int, height: int, block: int):
+    """(C, H*W) block-major rows -> (C, H, W) row-major, CHANNEL-MAJOR.
+
+    The channels-last variant above must first transpose (C, N) -> (N, C),
+    and every minor-dim-C array on TPU is lane-padded C -> 128 (measured
+    ~2.5 ms of pure relayout per 2M-ray buffer — 4 buffers per frame put
+    the batch front door 30% behind the sequence protocol, LADDER round 4).
+    Keeping channels major, the unswizzle is a pure mid-dim permute of
+    dense tiles: measured ~0 ms."""
+    if block <= 1:
+        return a.reshape(-1, height, width)
+    b = block
+    a = a.reshape(-1, height // b, width // b, b, b)
+    return xp.transpose(a, (0, 1, 3, 2, 4)).reshape(-1, height, width)
+
+
 @dataclasses.dataclass(frozen=True)
 class PinholeCamera:
     eye: tuple = (10.0, 0.0, 0.0)     # reference default pose: lookat (0,0,0)

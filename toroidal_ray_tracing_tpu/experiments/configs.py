@@ -219,7 +219,9 @@ def run_scenario(num: int, backend: str = "jnp", out_dir: str | None = None,
         os.makedirs(out_dir, exist_ok=True)
         from PIL import Image
 
-        img = np.asarray(tonemap(last["images"][-1]))
+        # render_frames emits channel-major (3, H, W); moveaxis on host is a
+        # zero-copy view
+        img = np.moveaxis(np.asarray(tonemap(last["images"][-1])), 0, -1)
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(out_dir, f"{sc.name}.png"))
 

@@ -135,12 +135,23 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
     word). Returns (ids (nt, C), bits (nt, C), cnt (nt, 1)) i32 with
     nt = N // ray_tile.
     """
-    C = clo.shape[0]
     n = origins.shape[1]
-    S = n // sub
     nt = n // ray_tile
     n_sub = ray_tile // sub
     assert n_sub <= MAX_SPANS, n_sub
+    span_mask = _span_candidates(origins, dirs, tmax, clo, chi, sub)
+    return _span_mask_to_lists(span_mask, rank, nt, n_sub)
+
+
+def _span_candidates(origins, dirs, tmax, clo, chi, sub):
+    """The exact per-(span, box) candidate mask underlying the gate:
+    every ray slab-tested against every box (vectorized, box-blocked so
+    temporaries stay ~(B, N)), reduced to "any candidate" per `sub`-lane
+    span. Returns (N // sub, C) bool. Shared by the per-tile and grouped
+    packers so both kernels gate on identical candidates."""
+    C = clo.shape[0]
+    n = origins.shape[1]
+    S = n // sub
 
     inv = [_inv_dir(dirs[k]) for k in range(3)]      # 3 x (N,)
     tm = jnp.minimum(tmax, BIG)
@@ -172,8 +183,7 @@ def _chunk_visit_lists(origins, dirs, tmax, clo, chi, rank, ray_tile, sub):
 
     span_mask = jax.lax.map(
         block, (clo_b.reshape(-1, B, 3), chi_b.reshape(-1, B, 3)))
-    span_mask = span_mask.reshape(Cb, S)[:C].T       # (S, C)
-    return _span_mask_to_lists(span_mask, rank, nt, n_sub)
+    return span_mask.reshape(Cb, S)[:C].T            # (S, C)
 
 
 def _span_mask_to_lists(span_mask, rank, nt, n_sub):

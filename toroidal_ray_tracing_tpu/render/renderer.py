@@ -205,43 +205,116 @@ def render_sequence(scene, cameras, width, height, settings=None,
 
 
 @functools.partial(jax.jit, static_argnames=("cam_cls", "width", "height",
-                                             "backend", "spp", "dumps"))
+                                             "backend", "spp", "dumps",
+                                             "group"))
 def _frames_jit(scene, settings, param_stack, key, cam_cls, width, height,
-                backend, spp, dumps):
+                backend, spp, dumps, group=1):
     """K frames scanned inside ONE jit, each returning the FULL RenderedData
-    quartet (unlike _sequence_jit's throughput probe). One host dispatch
-    per batch instead of per frame — the ~40 ms tunnel RTT amortizes over
-    the whole batch."""
-    shape = (height, width, 3)
+    quartet (unlike _sequence_jit's throughput probe) in CHANNEL-MAJOR
+    (3, H, W) layout. One host dispatch per batch instead of per frame —
+    the ~40 ms tunnel RTT amortizes over the whole batch.
+
+    Channel-major outputs are a measured necessity, not a taste choice: a
+    channels-last (H, W, 3) device array is lane-padded 3 -> 128 on TPU,
+    and materializing one costs ~2.5 ms of relayout per 2M-ray buffer —
+    x4 buffers x F frames put the batch front door 30% behind the
+    sequence protocol (scripts/batch_gap_diag.py). (3, H, W) materializes
+    for free, and a host-side np.moveaxis view restores channels-last at
+    zero copies.
+
+    group > 1 (spp == 1 only): trace `group` frames' rays as ONE wavefront
+    per scan step — small frames underfill the kernels' 2048-ray tiles
+    across the bounce stages (_sequence_jit's frame batching, now with the
+    full per-frame output set)."""
+    from toroidal_ray_tracing_tpu.cameras.pinhole import (
+        block_unswizzle_rows, pick_block)
+
+    block = pick_block(width, height)
+    n = width * height
 
     def frame(rays_total, inp):
         fidx, params = inp
-        acc = hitpos = o = d = None
-        for s in range(max(spp, 1)):
-            sub = jax.random.fold_in(key, fidx * spp + s)
-            color, hp, oo, dd, nr = _frame_jit.__wrapped__(
-                scene, settings, params, sub, cam_cls, width, height,
-                backend, s > 0)
-            acc = color if acc is None else acc + color
+        plist = ([params] if group == 1 else
+                 [jax.tree_util.tree_map(lambda x: x[g], params)
+                  for g in range(group)])
+        if group == 1:
+            acc = hitpos = None
+            for s in range(max(spp, 1)):
+                sub = jax.random.fold_in(key, fidx * spp + s)
+                jitter = (jax.random.uniform(sub, (n, 2), F32) if s > 0
+                          else None)
+                oo, dd = cam_cls.device_rays(params, width, height,
+                                             settings, xp=jnp,
+                                             jitter=jitter, block=block,
+                                             rows=True)
+                color, hp, nr = trace_rays(scene, settings, oo, dd,
+                                           backend=backend, rows=True)
+                acc = color if acc is None else acc + color
+                rays_total = rays_total + nr
+                if s == 0:
+                    hitpos = hp
+            colors, hits = [acc / F32(max(spp, 1))], [hitpos]
+        else:
+            os_l, ds_l = [], []
+            for p_g in plist:
+                oo, dd = cam_cls.device_rays(p_g, width, height, settings,
+                                             xp=jnp, jitter=None,
+                                             block=block, rows=True)
+                os_l.append(oo)
+                ds_l.append(dd)
+            o = jnp.concatenate(os_l, axis=1)        # (3, group*n)
+            d = jnp.concatenate(ds_l, axis=1)
+            color, hp, nr = trace_rays(scene, settings, o, d,
+                                       backend=backend, rows=True)
             rays_total = rays_total + nr
-            if s == 0:
-                hitpos, o, d = hp, oo, dd
-        img = (acc / F32(max(spp, 1))).reshape(shape)
-        outs = (img,)
-        if dumps:
-            outs += (hitpos.reshape(shape), o.reshape(shape),
-                     d.reshape(shape))
-        return rays_total, outs
+            spl = lambda a: [a[:, g * n:(g + 1) * n]  # noqa: E731
+                             for g in range(group)]
+            colors, hits = spl(color), spl(hp)
+
+        unsw = lambda a: block_unswizzle_rows(  # noqa: E731
+            jnp, a, width, height, block)
+        outs = []
+        for g in range(len(colors)):
+            if not dumps:
+                outs.append((unsw(colors[g]),))
+                continue
+            # color+hitpos unswizzle as ONE (6, N) permute; the ray
+            # origin/dir dumps REGENERATE row-major (block=1: the
+            # unswizzle is then a free reshape) instead of permuting the
+            # traced block-major rays — raygen math is cheaper than a
+            # 2M-ray relayout, and the s=0 rays are jitter-free so the
+            # regenerated buffers are bit-identical
+            six = unsw(jnp.concatenate([colors[g], hits[g]], axis=0))
+            ro, rd = cam_cls.device_rays(plist[g], width, height, settings,
+                                         xp=jnp, jitter=None, block=1,
+                                         rows=True)
+            outs.append((six[0:3], six[3:6], ro.reshape(3, height, width),
+                         rd.reshape(3, height, width)))
+        if group == 1:
+            return rays_total, outs[0]
+        return rays_total, tuple(
+            jnp.stack([row[i] for row in outs])
+            for i in range(len(outs[0])))
 
     n_frames = jax.tree_util.tree_leaves(param_stack)[0].shape[0]
-    total, outs = jax.lax.scan(frame, jnp.float32(0),
-                               (jnp.arange(n_frames), param_stack))
+    if group > 1:
+        assert spp <= 1, "frame grouping requires spp == 1"
+        assert n_frames % group == 0, (n_frames, group)
+        steps = n_frames // group
+        param_stack = jax.tree_util.tree_map(
+            lambda x: x.reshape((steps, group) + x.shape[1:]), param_stack)
+        fidx = jnp.arange(n_frames).reshape(steps, group)
+    else:
+        fidx = jnp.arange(n_frames)
+    total, outs = jax.lax.scan(frame, jnp.float32(0), (fidx, param_stack))
+    if group > 1:
+        outs = tuple(a.reshape((n_frames,) + a.shape[2:]) for a in outs)
     return total, outs
 
 
 def render_frames(scene, cameras, width, height, settings=None,
                   backend: str = "jnp", spp: int = 1, seed: int = 0,
-                  dumps: bool = True):
+                  dumps: bool = True, frames_per_batch: int | None = None):
     """Render a batch of frames in ONE device dispatch — the multi-frame
     front door.
 
@@ -256,11 +329,22 @@ def render_frames(scene, cameras, width, height, settings=None,
     single camera (rendered `spp`-jittered once — pass a list of repeated
     cameras for an explicit multi-frame batch of the same pose).
     dumps: False skips the per-frame hit_position / ray buffers (images
-    only) — use for large batches where F x 4 x H x W x 3 f32 would press
+    only) — use for large batches where F x 4 x 3 x H x W f32 would press
     on HBM (a 8-frame 4K batch with dumps is ~3.2 GB).
+    frames_per_batch: trace this many frames' rays as ONE wavefront per
+    scan step (None = auto: fill ~2M-ray dispatches for small frames; 1
+    disables). Small frames otherwise underfill the trace kernels' ray
+    tiles per bounce stage.
 
-    Returns {"images": (F, H, W, 3) linear color,
-             "hit_positions" / "ray_origins" / "ray_dirs": (F, H, W, 3)
+    Outputs are CHANNEL-MAJOR device arrays — (F, 3, H, W): channels-last
+    (H, W, 3) arrays are lane-padded 3 -> 128 on TPU and cost ~2.5 ms of
+    pure relayout per 2M-ray buffer to materialize (measured,
+    scripts/batch_gap_diag.py), while (3, H, W) is free. On the host,
+    `np.moveaxis(np.asarray(a), 1, -1)` restores channels-last as a
+    zero-copy view.
+
+    Returns {"images": (F, 3, H, W) linear color,
+             "hit_positions" / "ray_origins" / "ray_dirs": (F, 3, H, W)
              (when dumps=True), "rays_traced": total float}.
     """
     if not isinstance(cameras, (list, tuple)):
@@ -270,6 +354,16 @@ def render_frames(scene, cameras, width, height, settings=None,
     settings = autofill_pixel_spread(settings, cameras[0], width, height)
     scene = _as_device_scene(scene)
     cam_cls = type(cameras[0])
+    n_frames = len(cameras)
+    group = frames_per_batch
+    if group is None:
+        group = 1
+        if spp <= 1:
+            # fill ~2M-ray wavefronts; group must divide the frame count
+            target = max(1, (2 * 1024 * 1024) // max(width * height, 1))
+            for g in range(2, n_frames + 1):
+                if n_frames % g == 0 and g <= target:
+                    group = g
     params = [c.ray_params(width, height, settings) for c in cameras]
     # host-stack + one upload (eager per-frame device ops pay the RTT each;
     # see render_sequence)
@@ -277,7 +371,7 @@ def render_frames(scene, cameras, width, height, settings=None,
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *params))
     total, outs = _frames_jit(scene, settings, stack,
                               jax.random.PRNGKey(seed), cam_cls, width,
-                              height, backend, spp, dumps)
+                              height, backend, spp, dumps, group=group)
     out = {"images": outs[0], "rays_traced": total}
     if dumps:
         out["hit_positions"] = outs[1]
