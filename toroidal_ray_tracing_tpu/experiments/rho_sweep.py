@@ -81,7 +81,43 @@ def run_sweep(
         subject_xf = xf
     scene = build_scene(scene_def)
 
+    # Overlapped capture pipeline (VERDICT r4 item 4): the tunnel's
+    # dispatch is fire-and-forget, so step i+1's render is DISPATCHED
+    # before step i's ~50 MB buffers are fetched — the device computes
+    # i+1 while the host link drains i. Text serialization (the slowest
+    # stage: ~80 MB/step of formatted rows) then runs on worker threads,
+    # overlapping BOTH the fetch and the next render. JAX stays
+    # single-threaded: only numpy arrays and file IO cross into the pool.
+    # Mirrors the reference's own split of presentFrame so dumps
+    # interleave with GPU work (hello_vulkan.cpp:1261-1267).
+    import concurrent.futures as cf
+
     written = []
+    pool = cf.ThreadPoolExecutor(max_workers=3)
+    futures = []
+
+    def harvest(i, rho, out):
+        """Fetch step i's device buffers (main thread) and hand the
+        serialization to the pool."""
+        hitpos = np.asarray(out["hit_position"])
+        image = np.asarray(out["image"])
+        futures.append(pool.submit(
+            dumps.write_rendered_position, out_dir, rho, hitpos))
+        futures.append(pool.submit(
+            dumps.write_color_image, out_dir, rho, image))
+        if save_rays and i == 0:  # reference writes rays once per run
+            origin = np.asarray(out["ray_origin"])
+            raydir = np.asarray(out["ray_dir"])
+            futures.append(pool.submit(
+                dumps.write_rendered_rays, out_dir, origin, raydir))
+        if save_npz:
+            futures.append(pool.submit(
+                dumps.save_render_npz,
+                os.path.join(out_dir,
+                             f"render_rho{dumps.rho_tag(rho)}.npz"),
+                {k: np.asarray(v) for k, v in out.items()}))
+
+    prev = None
     for i, rho in enumerate(rho_values()):
         if camera_path is not None:
             camera = camera_path(i)
@@ -100,18 +136,14 @@ def run_sweep(
                             width, height, st, backend=backend,
                             keep_images=False)
         out = render(scene, camera, width, height, st, backend=backend)
-        hitpos = np.asarray(out["hit_position"])
-        image = np.asarray(out["image"])
-        written.append(dumps.write_rendered_position(out_dir, rho, hitpos))
-        written.append(dumps.write_color_image(out_dir, rho, image))
-        if save_rays and i == 0:  # reference writes rays once per run
-            written.extend(dumps.write_rendered_rays(
-                out_dir, np.asarray(out["ray_origin"]),
-                np.asarray(out["ray_dir"])))
-        if save_npz:
-            written.append(dumps.save_render_npz(
-                os.path.join(out_dir, f"render_rho{dumps.rho_tag(rho)}.npz"),
-                out))
+        if prev is not None:
+            harvest(*prev)       # step i renders while i-1 drains the link
+        prev = (i, rho, out)
+    harvest(*prev)
+    for f in futures:
+        res = f.result()
+        written.extend(res if isinstance(res, tuple) else [res])
+    pool.shutdown()
     return written
 
 
