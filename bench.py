@@ -156,7 +156,7 @@ def _write_ladder(backend, headline, headline_mfu, headline_speedup):
         # device (scripts/batch_gap_diag.py, PERF.md round 5); the
         # reference's own loop renders 780 frames with no host sync
         # (main.cpp:337-341). Windows sized so RTT <= ~10%.
-        frames = None if sc.animate_frames else {1: 240, 2: 24, 4: 12}.get(n, 6)
+        frames = None if sc.animate_frames else {1: 240, 2: 24, 4: 24}.get(n, 6)
         _, stats = run_scenario(n, backend=backend, frames=frames)
         row = dict(stats)
         if "mrays_per_s" in stats:

@@ -198,8 +198,9 @@ def run_scenario(num: int, backend: str = "jnp", out_dir: str | None = None,
 
     cams = [sc.camera_at(f) for f in range(n_frames)]
     # skip the per-frame hit/ray dump buffers when the batch would press on
-    # HBM (F x 4 x H x W x 3 f32; an 8-frame 4K batch with dumps is ~3.2 GB)
-    dumps = sc.width * sc.height * n_frames <= 32 * 1024 * 1024
+    # HBM (F x 4 x 3 x H x W f32; an 8-frame 4K batch with dumps is ~3.2 GB
+    # — channel-major buffers are dense, so 64M pixels ≈ 3 GB of dumps)
+    dumps = sc.width * sc.height * n_frames <= 64 * 1024 * 1024
 
     def run():
         out = render_frames(scene, cams, sc.width, sc.height, st,

@@ -44,7 +44,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=2 * 1024 * 1024)
     ap.add_argument("--k", type=int, default=8)
-    ap.add_argument("--scene", type=int, default=3, choices=[3, 4, 6])
+    ap.add_argument("--scene", type=int, default=3, choices=[3, 4, 6, 7])
     args = ap.parse_args(argv)
 
     from toroidal_ray_tracing_tpu.cameras import PinholeCamera
@@ -57,7 +57,8 @@ def main(argv=None):
     n = args.rays
     sd = {3: lambda: procedural.scene_multi_torus(True),
           4: lambda: procedural.scene_instanced_torus_grid(n=1024),
-          6: lambda: procedural.scene_multi_torus(False)}[args.scene]()
+          6: lambda: procedural.scene_multi_torus(False),
+          7: procedural.scene_textured_mesh}[args.scene]()
     scene = jax.device_put(build_scene(sd))
     eye = (25.0, 18.0, 25.0) if args.scene == 4 else (8.0, 5.0, 8.0)
     ctr = (0.0, 0.0, 0.0) if args.scene == 4 else (0.0, 0.5, 0.0)
@@ -65,6 +66,10 @@ def main(argv=None):
     st = RenderSettings.default(max_depth=3)
     n = (n // 2048) * 2048  # kernel ray-tile alignment
     side = int(np.ceil(np.sqrt(n)))
+    if args.scene == 7:
+        # the textured scene's shade() must mip (the render path's
+        # autofill_pixel_spread equivalent) or the sample pass is level-0
+        st = st._replace(pixel_spread=F32(cam.pixel_spread(side, side)))
     o_h, d_h = cam.generate_rays(side, side, st, xp=np)
     o = jax.device_put(jnp.asarray(o_h[:n].T))   # (3, N) rows
     d = jax.device_put(jnp.asarray(d_h[:n].T))
