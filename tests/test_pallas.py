@@ -337,6 +337,38 @@ def test_streamed_occlusion_matches_resident():
                                   np.asarray(out[0]) < 1e30)
 
 
+def test_deferred_attrs_match_in_kernel_epilogue(monkeypatch):
+    """TRT_DEFER_ATTRS=1 (default: winner attrs via one post-walk row
+    gather) must be BIT-IDENTICAL to the in-kernel pick-matmul epilogue —
+    same f32 products and sum order, only the execution site differs."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+
+    scene = build_scene(procedural.scene_multi_torus(False))
+    geom = isect.geom_from_scene(scene)
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    # fresh shape (96x32) so flipping the module flag can't hit jit caches
+    o, d = cam.generate_rays(96, 32, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+
+    import jax as _jax
+
+    monkeypatch.setattr(tk, "DEFER_ATTRS", True)
+    a = tk.closest_hit_pallas(scene, geom, o, d, tmax, want_attrs=True)
+    monkeypatch.setattr(tk, "DEFER_ATTRS", False)
+    b = tk.closest_hit_pallas(scene, geom, o, d, tmax, want_attrs=True)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.prim), np.asarray(b.prim))
+    for fa, fb in zip(_jax.tree_util.tree_leaves(a.attrs),
+                      _jax.tree_util.tree_leaves(b.attrs)):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_streamed_grouped_overflow_falls_back(monkeypatch):
     """When a group's superblock union exceeds the SMEM row cap
     (STREAM_VCAP), the lax.cond fallback must run the per-tile kernel —

@@ -46,6 +46,8 @@ raytrace.rchit:98).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,6 +74,35 @@ from toroidal_ray_tracing_tpu.ops.torus_kernel import (  # noqa: F401
     TORUS_TILE, _obj_normal_to_world, _torus_boxes, _torus_kernel,
     _torus_obj_normal, _torus_quartic_coeffs, _torus_small_kernel,
     _w2o_rays, torus_closest_hit_pallas, torus_closest_hit_small)
+
+
+DEFER_ATTRS = os.environ.get("TRT_DEFER_ATTRS", "1") == "1"
+# Defer the triangle shading-attribute interpolation OUT of the kernel
+# walk: the kernels emit only (t, idx, u, v) and the winner's attrs
+# compose afterwards as ONE XLA row-gather over the packed 37-row table
+# plus two fused FMAs. Measured rationale (config 8 split,
+# scripts/c8_stream_split.py, PERF.md round 5): a streamed dispatch with
+# the in-kernel pick-matmul epilogue costs ~2.5 us (9 serially-issued MXU
+# ops) vs ~1.1 us for the slab chain alone — the epilogue, not DMA, is
+# the per-dispatch floor — while a (N, 37) row gather prices at
+# ~1 row/cycle (~3-10 ms per 2M rays), independent of dispatch count.
+# Bit-exact vs the in-kernel epilogue (same f32 products and sum order).
+# TRT_DEFER_ATTRS=0 restores the in-kernel epilogue for A/B.
+
+
+def _attr_gather(tables, idx_local, u, v, hit):
+    """(21, N) interpolated ShadeAttrs rows for per-ray winners: ONE row
+    gather of the concatenated (37, T) attr table + fused interpolation.
+    Replaces both the kernels' per-dispatch pick-matmul epilogues and the
+    loose prepass's one-hot matmuls when DEFER_ATTRS."""
+    a0, a1, a2 = tables
+    T = a0.shape[1]
+    rows = jnp.concatenate([a0, a1, a2], axis=0)      # (37, T)
+    g = rows.T[jnp.clip(idx_local, 0, T - 1)]         # (N, 37) row gather
+    gt = g.T                                          # (37, N) — lane = N
+    top = gt[0:8] + u[None, :] * gt[21:29] + v[None, :] * gt[29:37]
+    attr = jnp.concatenate([top, gt[8:21]], axis=0)   # (21, N)
+    return jnp.where(hit[None, :], attr, F32(0.0))
 
 
 def _material_rows(scene: Scene, mat_id):
@@ -216,6 +247,9 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
             clo = jnp.full((1, 3), -3e38, F32)
             chi = jnp.full((1, 3), 3e38, F32)
         tables = _tri_attr_tables(scene, geom) if want_attrs else None
+        # deferred attrs: kernels emit (t, idx, u, v) only; the winner's
+        # attrs compose below as one row gather (see DEFER_ATTRS)
+        defer = want_attrs and DEFER_ATTRS
 
         # loose-triangle hoist: test the tail rows densely in XLA, tighten
         # the kernel's tmax with their hits (extra behind-the-floor chunk
@@ -238,7 +272,7 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
             prim = jnp.where(lhit, base + lidx + geom.tri_offset, prim)
             u = jnp.where(lhit, lu, u)
             v = jnp.where(lhit, lv, v)
-            if want_attrs:
+            if want_attrs and not defer:
                 loose_attr = _loose_attr(tables, base, L, lidx, lu, lv, lhit)
             far = jnp.full((n_tail, 3), F32(2.0e38))
             clo = jnp.concatenate([clo[:n_cl - n_tail], far], axis=0)
@@ -252,7 +286,7 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
             # the hoist covered every live triangle (plane-only scene):
             # no triangle kernel launch at all — the dense XLA prepass IS
             # the triangle pass
-            if want_attrs:
+            if want_attrs and not defer:
                 tri_attr = loose_attr
         else:
             stream = (T_local > TRI_STREAM_MIN and cs % 128 == 0
@@ -261,10 +295,11 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
                       else tri_closest_hit_pallas)
             out = launch(
                 origins, dirs, tri_tmax, geom.woop_o, geom.woop_d, clo, chi,
-                cs, attr_tables=tables, occlusion=occlusion)
+                cs, attr_tables=None if defer else tables,
+                occlusion=occlusion)
             tt, ti, tu, tv = out[:4]
             better = tt < t_best
-            if want_attrs:
+            if want_attrs and not defer:
                 tri_attr = out[4]                    # (21, Np)
                 if loose_attr is not None:
                     tri_attr = jnp.where(better[None, :], tri_attr,
@@ -274,6 +309,10 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
             prim = jnp.where(better, ti + geom.tri_offset, prim)
             u = jnp.where(better, tu, u)
             v = jnp.where(better, tv, v)
+
+        if defer:
+            tri_attr = _attr_gather(tables, prim - geom.tri_offset, u, v,
+                                    kind == 0)
 
     if has_tori:
         if want_attrs:
