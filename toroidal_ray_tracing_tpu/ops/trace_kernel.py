@@ -76,18 +76,28 @@ from toroidal_ray_tracing_tpu.ops.torus_kernel import (  # noqa: F401
     _w2o_rays, torus_closest_hit_pallas, torus_closest_hit_small)
 
 
-DEFER_ATTRS = os.environ.get("TRT_DEFER_ATTRS", "1") == "1"
+DEFER_ATTRS = os.environ.get("TRT_DEFER_ATTRS", "0") == "1"
 # Defer the triangle shading-attribute interpolation OUT of the kernel
 # walk: the kernels emit only (t, idx, u, v) and the winner's attrs
 # compose afterwards as ONE XLA row-gather over the packed 37-row table
-# plus two fused FMAs. Measured rationale (config 8 split,
-# scripts/c8_stream_split.py, PERF.md round 5): a streamed dispatch with
-# the in-kernel pick-matmul epilogue costs ~2.5 us (9 serially-issued MXU
-# ops) vs ~1.1 us for the slab chain alone — the epilogue, not DMA, is
-# the per-dispatch floor — while a (N, 37) row gather prices at
-# ~1 row/cycle (~3-10 ms per 2M rays), independent of dispatch count.
-# Bit-exact vs the in-kernel epilogue (same f32 products and sum order).
-# TRT_DEFER_ATTRS=0 restores the in-kernel epilogue for A/B.
+# plus two fused FMAs. Built on the config-8 split's finding that an
+# UNPRUNED dispatch with the epilogue prices at ~3.6 us — but MEASURED
+# AND REJECTED as the default (PERF.md round 5, same-session sequence
+# A/Bs): config 8 12.87 -> 8.48, config 6 64.9 -> 58.2, config 7
+# 49.2 -> 45.3 Mrays/s. Two reasons: the slab gate already prunes the
+# epilogue down to the ~34k dispatches that actually win, and the
+# (N, 37) row gather + (T, 37) transpose price far above the
+# ~1 row/cycle ideal on a 1.7M-row table. Kept behind TRT_DEFER_ATTRS=1
+# (bit-exact parity-tested) for workloads with un-prunable attr passes.
+TORUS_DEFER = os.environ.get("TRT_TORUS_DEFER", "1") == "1"
+TORUS_DEFER_MAX_K = 512
+# Torus-side deferral (separate flag: DIFFERENT economics from the
+# triangle gather path): for K <= TORUS_DEFER_MAX_K tori, every per-ray
+# w2o/material lookup lowers as a fused K-deep select chain
+# (trace/shade.TEX_TINY_MAX regime) — no gathers at all — while the
+# in-kernel epilogue pays ~30 VPU ops + 3 pick-reductions + a dot per
+# chunk dispatch. Default set by the same-session config-3 sequence
+# A/B recorded in PERF.md round 5.
 
 
 def _attr_gather(tables, idx_local, u, v, hit):
@@ -102,6 +112,47 @@ def _attr_gather(tables, idx_local, u, v, hit):
     gt = g.T                                          # (37, N) — lane = N
     top = gt[0:8] + u[None, :] * gt[21:29] + v[None, :] * gt[29:37]
     attr = jnp.concatenate([top, gt[8:21]], axis=0)   # (21, N)
+    return jnp.where(hit[None, :], attr, F32(0.0))
+
+
+def _torus_attr_defer(geom, mat_table, origins, dirs, kt, ki, hit):
+    """(15, N) deferred torus attrs [world nrm(3), material(12)] for
+    per-ray winners — the XLA mirror of _torus_kernel's per-dispatch
+    epilogue, identical math to shade()'s jnp torus branch
+    (trace/shade.py:275-300). Only used when K <= TEX_TINY_MAX: every
+    per-ray lookup lowers to fused K-deep select chains, never (N,)
+    flat gathers (~18 ms/2M rays each)."""
+    from toroidal_ray_tracing_tpu.geom import torus as torus_geom
+    from toroidal_ray_tracing_tpu.trace.shade import _tiny_lookup
+
+    K = geom.tor_major.shape[0]
+    W12 = jnp.asarray(geom.tor_w2o).reshape(K, 12)
+    cols = tuple(W12[:, i] for i in range(12)) \
+        + tuple(mat_table[:, i] for i in range(12)) \
+        + (jnp.asarray(geom.tor_major),)
+    sel = _tiny_lookup(cols, ki, K)
+    w = sel[0:12]
+    mat = sel[12:24]
+    rmaj = sel[24]
+
+    t = jnp.minimum(kt, F32(1.0e8))
+    hx = origins[0] + t * dirs[0]
+    hy = origins[1] + t * dirs[1]
+    hz = origins[2] + t * dirs[2]
+    p_obj = jnp.stack([
+        w[0] * hx + w[1] * hy + w[2] * hz + w[3],
+        w[4] * hx + w[5] * hy + w[6] * hz + w[7],
+        w[8] * hx + w[9] * hy + w[10] * hz + w[11],
+    ], axis=0)                                        # (3, N)
+    n_obj = torus_geom.torus_normal(jnp, p_obj.T, rmaj)
+    nx, ny, nz = n_obj[:, 0], n_obj[:, 1], n_obj[:, 2]
+    # inverse-transpose transform: rotation rows applied as columns
+    n_tor = jnp.stack([
+        nx * w[0] + ny * w[4] + nz * w[8],
+        nx * w[1] + ny * w[5] + nz * w[9],
+        nx * w[2] + ny * w[6] + nz * w[10],
+    ], axis=0)                                        # (3, N)
+    attr = jnp.concatenate([n_tor, jnp.stack(mat, axis=0)], axis=0)
     return jnp.where(hit[None, :], attr, F32(0.0))
 
 
@@ -324,6 +375,13 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
                     mat_table, geom.tor_offset, k_local, axis=0)
         else:
             mat_table = None
+        # torus-side deferral: only for small K, where every per-ray
+        # lookup is a fused select chain — at K > TORUS_DEFER_MAX_K the
+        # deferred path would need (N,) row gathers that cost more than
+        # the epilogue it removes (config 4's K=1024 grid keeps the
+        # in-kernel epilogue)
+        tor_defer = (want_attrs and TORUS_DEFER
+                     and geom.tor_major.shape[0] <= TORUS_DEFER_MAX_K)
         # fold triangle hits into the torus query's tmax: torus groups (and
         # individual tori) behind nearer triangle geometry skip the quartic
         # via the kernels' entry-distance tests
@@ -337,14 +395,18 @@ def closest_hit_pallas(scene: Scene, geom, origins, dirs, tmax,
         out = torus_closest_hit_pallas(
             origins, dirs, tor_tmax, geom.tor_w2o, geom.tor_major,
             geom.tor_minor, geom.tor_center, geom.tor_bound,
-            mat_table=mat_table, occlusion=occlusion)
+            mat_table=None if tor_defer else mat_table,
+            occlusion=occlusion)
         kt, ki = out[:2]
-        if want_attrs:
+        if want_attrs and not tor_defer:
             tor_attr = out[2]                        # (15, Np)
         better = kt < t_best
         t_best = jnp.where(better, kt, t_best)
         kind = jnp.where(better, 1, kind)
         prim = jnp.where(better, ki + geom.tor_offset, prim)
+        if tor_defer:
+            tor_attr = _torus_attr_defer(geom, mat_table, origins, dirs,
+                                         kt, ki, kind == 1)
 
     sl = lambda x: x[:n]  # noqa: E731
     attrs = None
