@@ -369,6 +369,50 @@ def test_deferred_attrs_match_in_kernel_epilogue(monkeypatch):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+def test_streamed_grouped_matches_resident(monkeypatch):
+    """The grouped streamed kernel (default-off: perf-neutral on config 8
+    but kept for DMA-bound workloads) must reproduce the resident kernel
+    exactly. Fresh ray shape (64x48) — the stream entry point is jitted
+    and the group flag is a module global, so a shape reused from another
+    test would silently hit the per-tile cache."""
+    import jax.numpy as jnp
+
+    from toroidal_ray_tracing_tpu.ops import tri_stream
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+
+    scene = build_scene(procedural.scene_multi_torus(False))
+    geom = isect.geom_from_scene(scene)
+    cam = PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = RenderSettings.default(max_depth=2)
+    o, d = cam.generate_rays(64, 48, st, xp=np)
+    o = jnp.asarray(o.T)
+    d = jnp.asarray(d.T)
+    tmax = jnp.full((o.shape[1],), np.float32(1e4))
+    tables = tk._tri_attr_tables(scene, geom)
+    monkeypatch.setattr(tri_stream, "STREAM_GROUP", 16)
+    for attr, occl in ((None, False), (tables, False), (None, True)):
+        ref = tk.tri_closest_hit_pallas(
+            o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+            geom.cluster_hi, scene.cluster_size, attr_tables=attr,
+            occlusion=occl)
+        out = tri_stream.tri_closest_hit_stream(
+            o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+            geom.cluster_hi, scene.cluster_size, attr_tables=attr,
+            occlusion=occl)
+        if occl:
+            np.testing.assert_array_equal(np.asarray(ref[0]) < 1e30,
+                                          np.asarray(out[0]) < 1e30)
+        else:
+            np.testing.assert_array_equal(np.asarray(ref[0]),
+                                          np.asarray(out[0]))
+            np.testing.assert_array_equal(np.asarray(ref[1]),
+                                          np.asarray(out[1]))
+        if attr is not None:
+            np.testing.assert_allclose(np.asarray(ref[4]),
+                                       np.asarray(out[4]), rtol=1e-6)
+
+
 def test_streamed_grouped_overflow_falls_back(monkeypatch):
     """When a group's superblock union exceeds the SMEM row cap
     (STREAM_VCAP), the lax.cond fallback must run the per-tile kernel —

@@ -159,6 +159,48 @@ def test_streamed_tri_kernel_mosaic_parity():
 
 
 @needs_tpu
+def test_streamed_grouped_kernel_mosaic_parity(monkeypatch):
+    """Grouped streamed kernel (G ray tiles per grid step, per-group
+    superblock unions, word-skip span-bit walk) vs the per-tile streamed
+    kernel on real hardware. Default-off (TRT_STREAM_GROUP measured
+    perf-neutral on config 8, PERF.md round 5) but must stay correct."""
+    import jax.numpy as jnp
+    from toroidal_ray_tracing_tpu.cameras import generate_rays
+    from toroidal_ray_tracing_tpu.ops import tri_stream
+    from toroidal_ray_tracing_tpu.scene import build_scene, procedural
+    from toroidal_ray_tracing_tpu.scene.types import SceneDef
+    from toroidal_ray_tracing_tpu.trace import intersect as isect
+    import toroidal_ray_tracing_tpu as trt
+
+    sdef = SceneDef()
+    sdef.add_model(procedural.torus_mesh(2.0, 0.6, seg_major=64,
+                                         seg_minor=32))
+    scene = build_scene(sdef)
+    geom = isect.geom_from_scene(scene)
+    cam = trt.PinholeCamera(eye=(8.0, 5.0, 8.0), center=(0.0, 0.5, 0.0))
+    st = trt.RenderSettings.default(max_depth=1)
+    o_h, d_h = generate_rays(cam, 64, 40, st, xp=np)  # fresh shape
+    o, d = jnp.asarray(o_h.T), jnp.asarray(d_h.T)
+    n = o.shape[1] // 1024 * 1024
+    o, d = o[:, :n], d[:, :n]
+    tmax = jnp.full((n,), np.float32(1e4))
+    from toroidal_ray_tracing_tpu.ops import trace_kernel as tk
+
+    # reference = the RESIDENT kernel (a different jitted entry point —
+    # calling the stream entry twice at one shape with the group flag
+    # flipped would silently reuse the first trace's cache)
+    ref = tk.tri_closest_hit_pallas(
+        o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+        geom.cluster_hi, scene.cluster_size)
+    monkeypatch.setattr(tri_stream, "STREAM_GROUP", 16)
+    out = tri_stream.tri_closest_hit_stream(
+        o, d, tmax, geom.woop_o, geom.woop_d, geom.cluster_lo,
+        geom.cluster_hi, scene.cluster_size)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+
+
+@needs_tpu
 def test_small_torus_kernel_mosaic_parity():
     """Folded small-K torus kernel (rays on sublanes AND lanes,
     torus_closest_hit_small) vs the chunk-layout kernel on real hardware —

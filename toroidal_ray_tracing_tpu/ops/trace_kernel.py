@@ -89,15 +89,17 @@ DEFER_ATTRS = os.environ.get("TRT_DEFER_ATTRS", "0") == "1"
 # (N, 37) row gather + (T, 37) transpose price far above the
 # ~1 row/cycle ideal on a 1.7M-row table. Kept behind TRT_DEFER_ATTRS=1
 # (bit-exact parity-tested) for workloads with un-prunable attr passes.
-TORUS_DEFER = os.environ.get("TRT_TORUS_DEFER", "1") == "1"
+TORUS_DEFER = os.environ.get("TRT_TORUS_DEFER", "0") == "1"
 TORUS_DEFER_MAX_K = 512
-# Torus-side deferral (separate flag: DIFFERENT economics from the
-# triangle gather path): for K <= TORUS_DEFER_MAX_K tori, every per-ray
-# w2o/material lookup lowers as a fused K-deep select chain
-# (trace/shade.TEX_TINY_MAX regime) — no gathers at all — while the
-# in-kernel epilogue pays ~30 VPU ops + 3 pick-reductions + a dot per
-# chunk dispatch. Default set by the same-session config-3 sequence
-# A/B recorded in PERF.md round 5.
+# Torus-side deferral (separate flag: different economics from the
+# triangle gather path — for K <= TORUS_DEFER_MAX_K tori every per-ray
+# w2o/material lookup lowers as a fused K-deep select chain, no gathers
+# at all). MEASURED AND REJECTED as default (PERF.md round 5,
+# same-session sequence A/B): config 3 184.8 -> 158.3, config 1
+# 110.7 -> 105.9 Mrays/s — the in-kernel epilogue is already amortized
+# into the chunk dispatch, while the deferred path re-runs the
+# world->object transform + quartic-point normal over ALL rays every
+# bounce. Kept behind TRT_TORUS_DEFER=1 (parity-tested).
 
 
 def _attr_gather(tables, idx_local, u, v, hit):

@@ -443,13 +443,19 @@ def _group_visit_rows(span_mask, rank, ngroups, spg, vcap):
     return row.reshape(1, ngroups * Bp), spec, overflow
 
 
-STREAM_GROUP = int(os.environ.get("TRT_STREAM_GROUP", "16"))
+STREAM_GROUP = int(os.environ.get("TRT_STREAM_GROUP", "0"))
                          # ray tiles resident per grouped-kernel grid step
-                         # (0 disables the grouped path). Each visited
-                         # superblock DMAs once per GROUP: G=16 cut DMA
-                         # count 6.2x on config 8's primary pass
-                         # (scripts/c8_group_diag.py). VMEM: 16 tiles of
-                         # rays+outputs ~2.2 MB beside the 256 KB scratch.
+                         # (0 = off, the default). Each visited superblock
+                         # DMAs once per GROUP: G=16 cut DMA count 6.2x on
+                         # config 8's primary pass (scripts/c8_group_diag
+                         # .py) — but the same-session sequence A/B was
+                         # PERF-NEUTRAL (12.95 vs 12.87 Mrays/s; PERF.md
+                         # round 5): double-buffering already hides the
+                         # streamed bytes, so the row is span-chain-bound,
+                         # not DMA-bound. Kept (parity- and smoke-tested)
+                         # for workloads that are genuinely DMA-bound.
+                         # VMEM at G=16: ~2.2 MB of rays+outputs beside
+                         # the 256 KB scratch.
 STREAM_VCAP = int(os.environ.get("TRT_STREAM_VCAP", "1024"))
                          # union superblocks per group the packed SMEM row
                          # can hold (measured max 684 at G=16 on config
