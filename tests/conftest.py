@@ -31,3 +31,19 @@ _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop live executables/tracing caches after every test module.
+
+    A single pytest process accumulates XLA:CPU compiler state across the
+    suite's ~170 graphs; on a 1-vCPU host the compiler ABORTS (SIGABRT,
+    faulthandler dump ends in pxla _cached_compilation) partway through
+    test_sharding — deterministically in full-suite order, never when the
+    module runs alone. Clearing between modules bounds the live state;
+    the persistent disk cache above makes any re-trace cheap."""
+    yield
+    jax.clear_caches()
