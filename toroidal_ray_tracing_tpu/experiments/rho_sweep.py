@@ -140,10 +140,12 @@ def run_sweep(
             harvest(*prev)       # step i renders while i-1 drains the link
         prev = (i, rho, out)
     harvest(*prev)
-    for f in futures:
-        res = f.result()
-        written.extend(res if isinstance(res, tuple) else [res])
-    pool.shutdown()
+    try:
+        for f in futures:
+            res = f.result()
+            written.extend(res if isinstance(res, tuple) else [res])
+    finally:
+        pool.shutdown(wait=True)
     return written
 
 
