@@ -226,8 +226,7 @@ def _frames_jit(scene, settings, param_stack, key, cam_cls, width, height,
     per scan step — small frames underfill the kernels' 2048-ray tiles
     across the bounce stages (_sequence_jit's frame batching, now with the
     full per-frame output set)."""
-    from toroidal_ray_tracing_tpu.cameras.pinhole import (
-        block_unswizzle_rows, pick_block)
+    from toroidal_ray_tracing_tpu.cameras.pinhole import pick_block
 
     block = pick_block(width, height)
     n = width * height
@@ -253,7 +252,7 @@ def _frames_jit(scene, settings, param_stack, key, cam_cls, width, height,
                 rays_total = rays_total + nr
                 if s == 0:
                     hitpos = hp
-            colors, hits = [acc / F32(max(spp, 1))], [hitpos]
+            color_cat, hit_cat = acc / F32(max(spp, 1)), hitpos
         else:
             os_l, ds_l = [], []
             for p_g in plist:
@@ -264,37 +263,46 @@ def _frames_jit(scene, settings, param_stack, key, cam_cls, width, height,
                 ds_l.append(dd)
             o = jnp.concatenate(os_l, axis=1)        # (3, group*n)
             d = jnp.concatenate(ds_l, axis=1)
-            color, hp, nr = trace_rays(scene, settings, o, d,
-                                       backend=backend, rows=True)
+            color_cat, hit_cat, nr = trace_rays(scene, settings, o, d,
+                                                backend=backend, rows=True)
             rays_total = rays_total + nr
-            spl = lambda a: [a[:, g * n:(g + 1) * n]  # noqa: E731
-                             for g in range(group)]
-            colors, hits = spl(color), spl(hp)
 
-        unsw = lambda a: block_unswizzle_rows(  # noqa: E731
-            jnp, a, width, height, block)
-        outs = []
-        for g in range(len(colors)):
-            if not dumps:
-                outs.append((unsw(colors[g]),))
-                continue
-            # color+hitpos unswizzle as ONE (6, N) permute; the ray
-            # origin/dir dumps REGENERATE row-major (block=1: the
-            # unswizzle is then a free reshape) instead of permuting the
-            # traced block-major rays — raygen math is cheaper than a
-            # 2M-ray relayout, and the s=0 rays are jitter-free so the
-            # regenerated buffers are bit-identical
-            six = unsw(jnp.concatenate([colors[g], hits[g]], axis=0))
-            ro, rd = cam_cls.device_rays(plist[g], width, height, settings,
-                                         xp=jnp, jitter=None, block=1,
-                                         rows=True)
-            outs.append((six[0:3], six[3:6], ro.reshape(3, height, width),
-                         rd.reshape(3, height, width)))
+        # color+hitpos unswizzle as ONE permute over the WHOLE group (a
+        # per-frame loop costs group x 4 extra ops per scan step — at 72k
+        # rays/frame the op dispatches, not the bytes, were the batch
+        # column's residual); the ray origin/dir dumps REGENERATE
+        # row-major (block=1: the unswizzle is then a free reshape)
+        # instead of permuting the traced block-major rays — raygen math
+        # is cheaper than a relayout, and the s=0 rays are jitter-free so
+        # the regenerated buffers are bit-identical
+        G = group
+
+        def unsw_group(a):
+            """(C, G*n) block-major rows -> (G, C, H, W) row-major."""
+            C = a.shape[0]
+            if block <= 1:
+                return a.reshape(C, G, height, width).swapaxes(0, 1)
+            b = block
+            a = a.reshape(C, G, height // b, width // b, b, b)
+            return jnp.transpose(a, (1, 0, 2, 4, 3, 5)).reshape(
+                G, C, height, width)
+
+        if not dumps:
+            out_t = (unsw_group(color_cat),)
+        else:
+            six = unsw_group(jnp.concatenate([color_cat, hit_cat], axis=0))
+            ros, rds = [], []
+            for p_g in plist:
+                ro, rd = cam_cls.device_rays(p_g, width, height, settings,
+                                             xp=jnp, jitter=None, block=1,
+                                             rows=True)
+                ros.append(ro.reshape(3, height, width))
+                rds.append(rd.reshape(3, height, width))
+            out_t = (six[:, 0:3], six[:, 3:6], jnp.stack(ros),
+                     jnp.stack(rds))
         if group == 1:
-            return rays_total, outs[0]
-        return rays_total, tuple(
-            jnp.stack([row[i] for row in outs])
-            for i in range(len(outs[0])))
+            return rays_total, tuple(a[0] for a in out_t)
+        return rays_total, out_t
 
     n_frames = jax.tree_util.tree_leaves(param_stack)[0].shape[0]
     if group > 1:
